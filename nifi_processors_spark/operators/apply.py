@@ -1,0 +1,240 @@
+"""The CDC apply loop: change-tail -> typed envelopes -> LWW dedup ->
+schema-evolving MERGE -> checkpoint + metrics.
+
+This is the Spark-native replacement for the reference's flagship flow
+(GetFile -> SplitText -> ExecuteRuleEngine -> RouteOnAttribute -> PutFile,
+reference: ExecuteRuleEngine_Example.xml:18-23): instead of a per-record
+interpreted loop (ExecuteRuleEngine.java:438-565), each *epoch* of the
+change log is applied as one declarative DataFrame plan —
+
+    read epoch parquet (predicate/column pruning free via Catalyst)
+      -> detect payload schema drift -> registry + icelite ALTER
+      -> from_json envelope parse (corrupt rows quarantined, not fatal)
+      -> window LWW dedup on (repo, path) by (commit_seq, event_seq)
+      -> copy-on-write bucketed MERGE (only touched buckets rewritten)
+      -> epoch commit marker (exactly-once) + lineage/metrics record
+
+Scale notes: the epoch plan has exactly two shuffles (dedup window on the
+key; merge repartition by bucket — same key family, AQE-coalesced), reads
+only affected buckets of the target, and keeps everything JVM-side (no
+Python row loop anywhere). Hot-repo skew cannot stall the window because
+the partition key is the full (repo, path); the merge spreads buckets
+evenly by hash.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..metrics import MetricsLog
+from ..plans.checkpoint import CheckpointLog
+from ..plans.registry import SchemaRegistry, detect_payload_schema, to_struct, _SPARK_TYPE
+from ..plans.table import IceliteTable, bucket_expr
+from .dedup import lww_dedup
+from .envelope import parse_envelope
+
+ENVELOPE_KEY = ["repo", "path"]
+ENVELOPE_COLS = ["repo", "path", "op", "commit", "commit_seq", "event_seq"]
+
+
+class ChangeApplier:
+    """Owns one target table + its changelog + checkpoint/metrics state."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        table_path: str,
+        changelog_dir: str,
+        state_dir: str,
+        n_buckets: int = 32,
+        rename_hints: dict[str, str] | None = None,
+        collect_metrics: bool = True,
+    ):
+        self.spark = spark
+        self.table_path = table_path
+        self.changelog_dir = changelog_dir
+        self.checkpoints = CheckpointLog(os.path.join(state_dir, "checkpoints"))
+        self.metrics = MetricsLog(os.path.join(state_dir, "metrics"))
+        self.registry = SchemaRegistry(
+            os.path.join(state_dir, "schema_registry.json"), rename_hints
+        )
+        self.n_buckets = n_buckets
+        self.collect_metrics = collect_metrics
+
+    # ------------- discovery -------------
+
+    def discover_epochs(self) -> list[int]:
+        out = []
+        for entry in os.listdir(self.changelog_dir):
+            if entry.startswith("epoch="):
+                out.append(int(entry.split("=", 1)[1]))
+        return sorted(out)
+
+    def pending_epochs(self) -> list[int]:
+        return self.checkpoints.pending(self.discover_epochs())
+
+    def _epoch_dir(self, epoch: int) -> str:
+        return os.path.join(self.changelog_dir, f"epoch={epoch}")
+
+    def read_epoch(self, epoch: int) -> DataFrame:
+        return self.spark.read.parquet(self._epoch_dir(epoch)).withColumn(
+            "epoch", F.lit(epoch).cast("long")
+        )
+
+    # ------------- table bootstrap / evolution -------------
+
+    def _table(self) -> IceliteTable | None:
+        if IceliteTable.exists(self.table_path):
+            return IceliteTable(self.spark, self.table_path)
+        return None
+
+    def _ensure_table(self, payload_fields: list[tuple[str, str]]) -> IceliteTable:
+        t = self._table()
+        if t is not None:
+            return t
+        schema = T.StructType(
+            [
+                T.StructField("repo", T.StringType(), False),
+                T.StructField("path", T.StringType(), False),
+                T.StructField("commit", T.StringType(), True),
+            ]
+            + [T.StructField(n, _SPARK_TYPE[ty], True) for n, ty in payload_fields]
+        )
+        return IceliteTable.create(
+            self.spark, self.table_path, schema, key=ENVELOPE_KEY, n_buckets=self.n_buckets
+        )
+
+    def _rename_resolver(self) -> dict[str, str]:
+        """Cumulative old-name -> current-name map across registry versions."""
+        resolve: dict[str, str] = {}
+        cur = self.registry._load()["versions"]
+        for ver in cur:
+            for old, new in ver.get("renames", {}).items():
+                # re-point any chain ending at `old`
+                for k, v in list(resolve.items()):
+                    if v == old:
+                        resolve[k] = new
+                resolve[old] = new
+        return resolve
+
+    # ------------- the apply -------------
+
+    def apply_epoch(self, epoch: int, crash: Callable[[str, int], None] | None = None) -> dict:
+        """Apply one epoch. ``crash(point, epoch)`` is a test hook invoked at
+        'after_merge' (before the marker) to exercise crash-resume."""
+        t0 = time.monotonic()
+        raw = self.read_epoch(epoch)
+
+        # 1. schema drift -> registry -> ALTER
+        epoch_fields = detect_payload_schema(raw)
+        table = self._ensure_table(epoch_fields)
+        ver, renames, adds = self.registry.observe(epoch_fields, epoch)
+        if renames or adds:
+            table.alter(
+                renames,
+                [(n, _SPARK_TYPE[ty]) for n, ty in adds],
+                lineage={"op": "alter", "epoch": epoch, "renames": renames,
+                         "adds": [n for n, _ in adds]},
+            )
+
+        # 2. typed envelope parse + quarantine
+        parsed = parse_envelope(raw, to_struct(epoch_fields))
+        resolve = self._rename_resolver()
+        for old, new in resolve.items():
+            if old in parsed.columns and new not in parsed.columns:
+                parsed = parsed.withColumnRenamed(old, new)
+
+        good = parsed.filter(~F.col("_corrupt"))
+        n_corrupt = 0
+        if self.collect_metrics:
+            n_corrupt = parsed.filter(F.col("_corrupt")).count()
+
+        # 3. LWW dedup within the epoch
+        winners = lww_dedup(good)
+
+        # 4. align to current table columns (null for cols this epoch lacks)
+        snap = table.snapshot()
+        data_cols = table.field_names(snap)
+        sel = []
+        for c in data_cols:
+            if c in winners.columns:
+                sel.append(F.col(c))
+            else:
+                ftype = next(
+                    f["type"] for f in snap["schemas"][str(snap["schema_version"])]
+                    if f["name"] == c
+                )
+                from ..plans.table import _type_from_json
+                sel.append(F.lit(None).cast(_type_from_json(ftype)).alias(c))
+        changes = winners.select(*sel, "op", "commit_seq", "event_seq")
+
+        stats_extra: dict = {}
+        if self.collect_metrics:
+            changes = changes.persist()
+            per_bucket = (
+                changes.withColumn("_b", bucket_expr(ENVELOPE_KEY, snap["n_buckets"]))
+                .groupBy("_b")
+                .agg(
+                    F.count("*").alias("rows"),
+                    F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("dels"),
+                )
+                .collect()
+            )
+            stats_extra = {
+                "rows_upserted": int(sum(r["rows"] - r["dels"] for r in per_bucket)),
+                "rows_deleted": int(sum(r["dels"] for r in per_bucket)),
+                "partitions": [
+                    {"bucket": int(r["_b"]), "rows": int(r["rows"])} for r in per_bucket
+                ],
+            }
+
+        # 5. MERGE (copy-on-write, LWW vs stored state)
+        input_files = sorted(
+            os.path.join(self._epoch_dir(epoch), f)
+            for f in os.listdir(self._epoch_dir(epoch))
+            if f.endswith(".parquet")
+        )
+        new_sid, mstats = table.merge(
+            changes, lineage={"op": "merge", "epoch": epoch, "input_files": input_files}
+        )
+        if self.collect_metrics:
+            changes.unpersist()
+
+        if crash is not None:
+            crash("after_merge", epoch)
+
+        # 6. metrics + exactly-once marker
+        rec = {
+            "epoch": epoch,
+            "snapshot_id": new_sid,
+            "rows_in": raw.count() if self.collect_metrics else None,
+            "rows_corrupt": n_corrupt,
+            "affected_buckets": mstats.get("affected_buckets"),
+            "wall_ms": int((time.monotonic() - t0) * 1000),
+            "schema_version": ver["version"],
+            "input_files": input_files,
+            **stats_extra,
+        }
+        if self.collect_metrics:
+            self.metrics.append(rec)
+        self.checkpoints.commit(epoch, {"snapshot_id": new_sid})
+        return rec
+
+    def run(self, crash: Callable[[str, int], None] | None = None) -> list[dict]:
+        """Apply all pending epochs in order (exactly-once via markers)."""
+        out = []
+        for e in self.pending_epochs():
+            out.append(self.apply_epoch(e, crash=crash))
+        return out
+
+    def state(self) -> DataFrame:
+        t = self._table()
+        if t is None:
+            raise RuntimeError("table not created yet")
+        return t.read()

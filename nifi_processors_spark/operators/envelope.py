@@ -1,0 +1,60 @@
+"""Change-envelope parsing: payload_json -> typed struct columns.
+
+The reference's SplitToAttribute turns an untyped CSV row into a bag of
+stringly-typed attributes (reference: SplitToAttribute.java:144-210). The
+Spark-native re-expression parses the JSON change payload into *typed
+columns* with ``from_json`` against an explicit schema — corrupt payloads
+yield a null struct and are routed to quarantine instead of aborting the
+epoch (the reference's per-row failure relationship,
+ExecuteRuleEngine.java:477-481,610-662, becomes a filter).
+
+Intentional divergences from the reference's SplitToAttribute quirks
+(documented in SURVEY.md §2.2 P1): separator-as-regex and silent
+empty-field skipping are NOT replicated; nulls are kept.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+PAYLOAD_V1 = T.StructType(
+    [
+        T.StructField("lang", T.StringType()),
+        T.StructField("content", T.StringType()),
+    ]
+)
+
+PAYLOAD_V2 = T.StructType(
+    [
+        T.StructField("language", T.StringType()),
+        T.StructField("content", T.StringType()),
+        T.StructField("size_bytes", T.LongType()),
+    ]
+)
+
+
+def parse_envelope(changes: DataFrame, payload_schema: T.StructType) -> DataFrame:
+    """Parse payload_json into typed columns per ``payload_schema``.
+
+    Output: envelope columns + one column per payload field + ``_corrupt``
+    flag (true when payload_json was non-null but unparseable). Delete
+    events carry a null payload and are not corrupt.
+    """
+    parsed = changes.withColumn(
+        "_payload", F.from_json(F.col("payload_json"), payload_schema)
+    )
+    corrupt = F.col("payload_json").isNotNull() & F.col("_payload").isNull()
+    out = parsed.withColumn("_corrupt", corrupt)
+    for f in payload_schema.fields:
+        out = out.withColumn(f.name, F.col(f"_payload.{f.name}"))
+    return out.drop("_payload", "payload_json")
+
+
+def quarantine_split(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(good, quarantined) — the reference's 'failure' relationship."""
+    return (
+        parsed.filter(~F.col("_corrupt")).drop("_corrupt"),
+        parsed.filter(F.col("_corrupt")).drop("_corrupt"),
+    )

@@ -1,0 +1,58 @@
+"""Epoch checkpoint markers — exactly-once replay for the apply loop.
+
+The reference's only state is a @Stateful LOCAL map holding the rule-zip
+name + lastModified (reference: ExecuteRuleEngine.java:108,315-322) — a
+config epoch, not a data checkpoint. The target needs real exactly-once:
+a marker file per applied epoch, written atomically AFTER the snapshot
+commit. Crash windows:
+
+  * crash before snapshot commit   -> replay re-runs the merge (no state yet)
+  * crash after commit, before marker -> replay re-runs the merge; the
+    LWW-vs-state rule in IceliteTable.merge makes it byte-identical
+  * marker present -> epoch skipped entirely
+
+So replay from ANY point reconverges to the identical table state
+(BASELINE.json.north_star).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from typing import Any
+
+
+class CheckpointLog:
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    def _marker(self, epoch: int) -> str:
+        return os.path.join(self.path, f"epoch_{epoch}.json")
+
+    def is_committed(self, epoch: int) -> bool:
+        return os.path.exists(self._marker(epoch))
+
+    def commit(self, epoch: int, info: dict[str, Any]) -> None:
+        tmp = os.path.join(self.path, f".tmp.{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            json.dump({"epoch": epoch, **info}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._marker(epoch))
+
+    def committed_epochs(self) -> list[int]:
+        out = []
+        for fn in os.listdir(self.path):
+            if fn.startswith("epoch_") and fn.endswith(".json"):
+                out.append(int(fn[len("epoch_") : -len(".json")]))
+        return sorted(out)
+
+    def info(self, epoch: int) -> dict:
+        with open(self._marker(epoch)) as f:
+            return json.load(f)
+
+    def pending(self, all_epochs: list[int]) -> list[int]:
+        done = set(self.committed_epochs())
+        return [e for e in sorted(all_epochs) if e not in done]
