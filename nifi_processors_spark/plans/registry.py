@@ -75,11 +75,13 @@ def diff_schemas(
 ) -> tuple[dict[str, str], list[tuple[str, str]]]:
     """Return (renames {old_name: new_name}, adds [(name, type)]).
 
-    Detection: explicit hints first; else a single removed field and a
-    single added field of the same type are treated as a rename (the
-    common ALTER RENAME case); anything else added is an ADD. Removed
-    fields without a rename partner are left in place (tolerant reader —
-    older columns simply stop receiving values).
+    Detection: explicit hints first; then each removed field whose type
+    matches *exactly one* added field is treated as a rename (the common
+    ALTER RENAME case — e.g. v1 {lang} -> v2 {language, size_bytes}
+    renames lang->language because language is the only added string).
+    Ambiguous cases (two same-typed candidates) fall back to ADD; removed
+    fields without a partner are left in place (tolerant reader — older
+    columns simply stop receiving values).
     """
     rename_hints = rename_hints or {}
     old_names = {n for n, _ in old}
@@ -88,20 +90,21 @@ def diff_schemas(
     new_types = dict(new)
 
     renames: dict[str, str] = {}
-    removed = [n for n in old_names - new_names]
-    added = [n for n in new_names - old_names]
+    removed = sorted(old_names - new_names)
+    added = [n for n, _ in new if n not in old_names]  # keep producer order
 
     for new_name, old_name in rename_hints.items():
         if old_name in removed and new_name in added:
             renames[old_name] = new_name
             removed.remove(old_name)
             added.remove(new_name)
-    if len(removed) == 1 and len(added) == 1 and old_types[removed[0]] == new_types[added[0]]:
-        renames[removed[0]] = added[0]
-        added = []
+    for old_name in list(removed):
+        candidates = [n for n in added if new_types[n] == old_types[old_name]]
+        if len(candidates) == 1:
+            renames[old_name] = candidates[0]
+            removed.remove(old_name)
+            added.remove(candidates[0])
     adds = [(n, new_types[n]) for n in added]
-    # keep add order stable: order of appearance in `new`
-    adds.sort(key=lambda a: [n for n, _ in new].index(a[0]))
     return renames, adds
 
 
