@@ -1,0 +1,280 @@
+"""Near-duplicate detection for a training corpus — exact, MinHash+LSH,
+SimHash, n-gram Jaccard, and embedding-cosine variants.
+
+Everything is expression-only (arrays + higher-order functions) so the
+sketching pass is a single narrow projection per document; the only
+shuffles are the LSH band groupBys / candidate joins — which is the point
+of LSH: at 100 TB you never compare all pairs, you shuffle once on band
+keys, compare within buckets, and verify candidates.
+
+Design per operator:
+  * exact       — groupBy(sha256(normalized)) keep min id. One shuffle.
+  * minhash_lsh — word shingles -> H seeded xxhash64 minima (signature) ->
+                  B bands of R rows -> explode bands -> self-join on
+                  (band, band_hash) -> verify candidates with true Jaccard.
+  * simhash     — 64-bit sign-aggregated shingle hashes; near-dups have
+                  small Hamming distance; bucketing by 16-bit sub-keys
+                  (pigeonhole: <=3 differing bits -> one of 4 sub-keys equal).
+  * embedding   — cosine >= threshold via band-hashed random hyperplanes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import normalize_text
+
+# ---------------- exact dedup ----------------
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep one representative (min id) per distinct normalized content.
+    Map-side partial agg makes this one cheap shuffle at any scale."""
+    h = F.sha2(normalize_text(F.col(text_col)), 256).alias("_h")
+    return (
+        df.select(h, F.col(id_col))
+        .groupBy("_h")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
+        .drop("_h")
+    )
+
+
+def exact_dedup_keep(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Return the full surviving rows (min id per normalized-content group)."""
+    keep = exact_dedup(df, text_col, id_col).select(id_col)
+    return df.join(keep, id_col, "left_semi")
+
+
+# ---------------- shingling + minhash ----------------
+
+
+def word_shingles(c: Column, n: int = 3) -> Column:
+    """Distinct word n-grams as an array<string> (expression-only)."""
+    words = F.split(normalize_text(c), " ")
+    k = F.greatest(F.size(words) - (n - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.concat_ws(" ", *[F.element_at(words, i + j + 1) for j in range(n)]),
+        )
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
+    """H independent min-hashes: min over shingles of xxhash64(seed_i ++ s)."""
+    def mk(i: int):
+        return lambda s: F.xxhash64(F.lit(f"mh{i}"), s)
+
+    return F.array(
+        *[F.array_min(F.transform(shingles, mk(i))) for i in range(num_hashes)]
+    )
+
+
+def lsh_bands(sig: Column, bands: int, rows: int) -> Column:
+    """array<struct<band:int, h:long>> — one hash per band of `rows` sig values."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.element_at(sig, b * rows + r + 1) for r in range(rows)]).alias("h"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-dup pairs (id_a < id_b, jaccard >= threshold).
+
+    Candidate generation is the LSH band self-join (shuffle on band hash —
+    never all-pairs); verification recomputes true shingle Jaccard on
+    candidates only.
+    """
+    rows = num_hashes // bands
+    sh = df.select(
+        F.col(id_col).alias("_id"), word_shingles(F.col(text_col), shingle_n).alias("_sh")
+    )
+    sig = sh.withColumn("_bands", lsh_bands(minhash_signature(F.col("_sh"), num_hashes), bands, rows))
+    exploded = sig.select("_id", "_sh", F.explode("_bands").alias("_b"))
+    left = exploded.select(
+        F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"), "_b"
+    )
+    right = exploded.select(
+        F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"), "_b"
+    )
+    cand = (
+        left.join(right, ["_b"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------- simhash ----------------
+
+
+def simhash64(shingles: Column, bits: int = 64) -> Column:
+    """Classic SimHash: bit b is 1 iff sum over shingles of
+    (+1 if bit b of xxhash64(s) else -1) > 0. Expression-only — the bit
+    loop is unrolled driver-side (shift amounts must be literals); the
+    shingle hash is computed once and reused by all bit counters."""
+    hashes = F.transform(shingles, lambda s: F.xxhash64(s))
+
+    def mk(b: int):
+        # NB: closure factory, not a `b=b` default arg — pyspark's HOF
+        # binding treats extra lambda params as lambda variables
+        return lambda acc, h: acc + (
+            F.shiftright(h, b).bitwiseAND(F.lit(1)).cast("int") * 2 - 1
+        )
+
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        cnt = F.aggregate(hashes, F.lit(0), mk(b))
+        out = out.bitwiseOR(
+            F.shiftleft(F.when(cnt > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), b)
+        )
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, bucketed by 16-bit
+    sub-keys (pigeonhole: distance <= 3 implies at least one of the four
+    16-bit quarters is identical) — candidates shuffle on sub-key, never
+    all-pairs."""
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        simhash64(word_shingles(F.col(text_col), shingle_n)).alias("_sim"),
+    )
+    quarters = base.select(
+        "_id",
+        "_sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("q"),
+                        F.shiftright(F.col("_sim"), q * 16).bitwiseAND(F.lit(0xFFFF)).alias("k"),
+                    )
+                    for q in range(4)
+                ]
+            )
+        ).alias("_q"),
+    )
+    left = quarters.select(F.col("_id").alias("id_a"), F.col("_sim").alias("sim_a"), "_q")
+    right = quarters.select(F.col("_id").alias("id_b"), F.col("_sim").alias("sim_b"), "_q")
+    return (
+        left.join(right, ["_q"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", hamming64(F.col("sim_a"), F.col("sim_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------- n-gram jaccard (direct) ----------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, threshold: float = 0.5, n: int = 3
+) -> DataFrame:
+    """All-pairs n-gram Jaccard — the small-data oracle baseline the LSH
+    variants approximate. O(n^2): use only on bounded groups/samples."""
+    sh = df.select(F.col(id_col).alias("_id"), word_shingles(F.col(text_col), n).alias("_sh"))
+    a = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    b = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------- embedding near-dup ----------------
+
+
+def cosine(a: Column, b: Column) -> Column:
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    planes: int = 16,
+) -> DataFrame:
+    """Cosine near-dup via random-hyperplane LSH: sign-bit sketch of
+    `planes` deterministic pseudo-random hyperplanes -> bucket on the
+    sketch -> verify cosine within buckets. High-cosine pairs collide with
+    high probability; scale path shuffles on sketch keys only."""
+    v = F.col(vec_col)
+
+    def plane_dot(p: int):
+        # hyperplane component h(p, i) in [-1, 1): deterministic from (p, i)
+        return lambda x, i: x * (
+            F.xxhash64(F.lit(f"plane{p}"), i).cast("double") / F.lit(2.0**63)
+        )
+
+    sketch_bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(v, F.sequence(F.lit(0), F.size(v) - 1), plane_dot(p)),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+            > 0,
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        for p in range(planes)
+    ]
+    sketch = sketch_bits[0].cast("long")
+    for i, b in enumerate(sketch_bits[1:], start=1):
+        sketch = sketch.bitwiseOR(F.shiftleft(b.cast("long"), i))
+    base = df.select(F.col(id_col).alias("_id"), v.alias("_v"), sketch.alias("_sk"))
+    a = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("v_a"), "_sk")
+    b = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("v_b"), "_sk")
+    return (
+        a.join(b, ["_sk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

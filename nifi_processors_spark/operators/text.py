@@ -1,0 +1,134 @@
+"""Text-analysis operators for a training-data pipeline — pure expressions.
+
+These extend the engine beyond the reference's operator set (the reference
+routes/validates CSV rows; a 100 TB corpus pipeline needs per-document
+text features). Everything here is built-in-function-only — JVM-side,
+whole-stage codegen — so it runs at scan speed with zero Python in the
+hot path:
+
+  * token counting (whitespace + BPE-ish regex)
+  * language ID (stopword n-gram heuristic)
+  * quality scoring (length / punctuation / stopword / repetition ratios)
+  * document fingerprinting (normalized content hash + rolling prefix hash)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny per-language stopword lists — a deterministic, dependency-free
+# heuristic (real pipelines plug fasttext via a pandas UDF; see multimodal.py
+# for the stub pattern)
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein", "von", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "est", "un", "une", "que", "dans"],
+    "es": ["el", "la", "de", "que", "los", "es", "un", "una", "por", "con"],
+    "it": ["il", "la", "di", "che", "e", "un", "una", "per", "del", "non"],
+    "pt": ["o", "a", "de", "que", "os", "um", "uma", "para", "com", "nao"],
+}
+
+WORD_RE = r"[A-Za-z0-9_]+"
+# BPE-ish: words, numbers, or single punctuation marks — approximates a
+# byte-pair tokenizer's pre-tokenization split
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def whitespace_token_count(c: Column) -> Column:
+    t = F.trim(c)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    ).cast("long")
+
+
+def bpe_token_count(c: Column) -> Column:
+    return F.regexp_count(c, F.lit(BPE_RE)).cast("long")
+
+
+def _stopword_hits(c: Column, words: list[str]) -> Column:
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.regexp_count(F.lower(c), F.lit(pat))
+
+
+def language_id(c: Column) -> Column:
+    """Argmax of per-language stopword hit counts; 'und' (undetermined)
+    when nothing matches. One projection, no UDF."""
+    scores = [(_lang, _stopword_hits(c, ws)) for _lang, ws in STOPWORDS.items()]
+    best = F.lit("und")
+    best_n = F.lit(0)
+    # left-to-right argmax, ties keep the earlier language (stable)
+    for lang, n in scores:
+        take = n > best_n
+        best = F.when(take, F.lit(lang)).otherwise(best)
+        best_n = F.when(take, n).otherwise(best_n)
+    return best
+
+
+def quality_features(c: Column) -> dict[str, Column]:
+    """Raw quality signals (each a Column), combinable into a score."""
+    n_chars = F.length(c).cast("double")
+    n_words = whitespace_token_count(c).cast("double")
+    n_alpha = F.regexp_count(c, F.lit(r"[A-Za-z]")).cast("double")
+    n_punct = F.regexp_count(c, F.lit(r"[^\w\s]")).cast("double")
+    n_upper = F.regexp_count(c, F.lit(r"[A-Z]")).cast("double")
+    n_stop = _stopword_hits(c, STOPWORDS["en"]).cast("double")
+    safe = F.greatest(n_chars, F.lit(1.0))
+    safe_w = F.greatest(n_words, F.lit(1.0))
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "mean_word_len": n_chars / safe_w,
+        "alpha_ratio": n_alpha / safe,
+        "punct_ratio": n_punct / safe,
+        "upper_ratio": n_upper / safe,
+        "stopword_ratio": n_stop / safe_w,
+    }
+
+
+def quality_score(c: Column) -> Column:
+    """[0,1] heuristic: long-enough, alphabetic, punctuation-sane,
+    some stopwords, not shouting. Weights are arbitrary but fixed —
+    the point is a deterministic, vectorized scoring pass."""
+    f_ = quality_features(c)
+    length_ok = F.least(f_["n_chars"] / F.lit(500.0), F.lit(1.0))
+    alpha_ok = F.least(f_["alpha_ratio"] / F.lit(0.7), F.lit(1.0))
+    punct_ok = F.lit(1.0) - F.least(f_["punct_ratio"] / F.lit(0.5), F.lit(1.0))
+    stop_ok = F.least(f_["stopword_ratio"] / F.lit(0.2), F.lit(1.0))
+    shout_ok = F.lit(1.0) - F.least(f_["upper_ratio"] / F.lit(0.5), F.lit(1.0))
+    return (
+        F.lit(0.3) * length_ok
+        + F.lit(0.25) * alpha_ok
+        + F.lit(0.15) * punct_ok
+        + F.lit(0.2) * stop_ok
+        + F.lit(0.1) * shout_ok
+    )
+
+
+def normalize_text(c: Column) -> Column:
+    """Dedup-normalization: lowercase, collapse whitespace, strip edges."""
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def content_fingerprint(c: Column) -> Column:
+    """64-bit fingerprint of normalized content (exact-dup key)."""
+    return F.conv(F.substring(F.sha2(normalize_text(c), 256), 1, 15), 16, 10).cast("long")
+
+
+def rolling_prefix_hashes(c: Column, window: int = 64, step: int = 32, max_chunks: int = 32) -> Column:
+    """Array of fixed-offset chunk hashes over the normalized text — a cheap
+    document sketch. Docs differing by in-place (equal-length) edits or
+    appended suffixes share most chunk hashes; edits that *shift* offsets
+    invalidate downstream chunks — use minhash (fuzzy.py) for those."""
+    t = normalize_text(c)
+    idx = F.sequence(F.lit(0), F.lit(max_chunks - 1))
+    return F.filter(
+        F.transform(
+            idx,
+            lambda i: F.when(
+                i * step + 1 <= F.length(t),
+                F.xxhash64(F.substring(t, i * step + 1, window)),
+            ),
+        ),
+        lambda h: h.isNotNull(),
+    )

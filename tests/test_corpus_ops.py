@@ -1,0 +1,232 @@
+"""Training-data pipeline operators: text analysis, dedup family,
+similarity search, multimodal plumbing."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from nifi_processors_spark.operators import fuzzy, multimodal, similarity, text
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def neardup_docs(spark):
+    """Synthetic docs with planted near-duplicates."""
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base.replace("lazy", "sleepy")),  # near dup of 0
+        (3, "completely different text about spark query engines and shuffles at scale"),
+        (4, base.upper()),  # case-normalized dup of 0
+        (5, "yet another unrelated document mentioning gradient descent optimizers"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([("hello, world! 42",), ("",)], "t string")
+    r = df.select(
+        text.whitespace_token_count(F.col("t")).alias("ws"),
+        text.bpe_token_count(F.col("t")).alias("bpe"),
+    ).collect()
+    assert r[0]["ws"] == 3
+    # hello , world ! 42 -> 5 BPE-ish tokens
+    assert r[0]["bpe"] == 5
+    assert r[1]["ws"] == 0 and r[1]["bpe"] == 0
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog went to the park and it was fun",),
+            ("der Hund ist nicht mit der Katze und das ist gut",),
+            ("xyzzy qwerty 12345",),
+        ],
+        "t string",
+    )
+    out = [r[0] for r in df.select(text.language_id(F.col("t"))).collect()]
+    assert out == ["en", "de", "und"]
+
+
+def test_quality_score_ordering(spark):
+    df = spark.createDataFrame(
+        [
+            ("good", "The project is well documented and the code is tested. " * 20),
+            ("shouty", "BUY NOW!!! " * 50),
+            ("tiny", "ok"),
+        ],
+        "name string, t string",
+    )
+    scores = {
+        r["name"]: r["q"]
+        for r in df.select("name", text.quality_score(F.col("t")).alias("q")).collect()
+    }
+    assert scores["good"] > scores["shouty"]
+    assert scores["good"] > scores["tiny"]
+    assert all(0.0 <= v <= 1.0 for v in scores.values())
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [("Hello   World",), ("hello world",), ("something else",)], "t string"
+    )
+    fps = [r[0] for r in df.select(text.content_fingerprint(F.col("t"))).collect()]
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_rolling_hashes_overlap(spark):
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 8
+    b = a.replace("theta", "xxxxx", 1)  # equal-length in-place edit
+    df = spark.createDataFrame([(0, a), (1, b)], "id long, t string")
+    out = df.select("id", text.rolling_prefix_hashes(F.col("t")).alias("h")).collect()
+    ha, hb = (set(r["h"]) for r in sorted(out, key=lambda r: r["id"]))
+    shared = len(ha & hb) / max(len(ha | hb), 1)
+    assert 0.3 < shared < 1.0  # near-dup shares most chunks but not all
+
+
+def test_exact_dedup(neardup_docs):
+    kept = fuzzy.exact_dedup_keep(neardup_docs, "text", "doc_id")
+    ids = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    # 0,1,4 collapse (1 exact, 4 case-normalized) -> keep 0
+    assert ids == [0, 2, 3, 5]
+
+
+def test_minhash_lsh_finds_neardups(neardup_docs):
+    pairs = fuzzy.minhash_lsh_pairs(
+        neardup_docs, "text", "doc_id", threshold=0.5, num_hashes=32, bands=16, shingle_n=2
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 1) in got and (0, 4) in got  # exact dups
+    assert (0, 2) in got  # near dup
+    assert (3, 5) not in got and (0, 3) not in got
+
+
+def test_simhash_pairs(neardup_docs):
+    pairs = fuzzy.simhash_pairs(neardup_docs, "text", "doc_id", max_hamming=6)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 1) in got and (0, 4) in got
+    assert (0, 3) not in got
+
+
+def test_ngram_jaccard_oracle_agreement(neardup_docs):
+    """LSH candidates at high threshold must be a subset of the exact
+    all-pairs result, and must find everything at jaccard>=0.9."""
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in fuzzy.ngram_jaccard_pairs(neardup_docs, "text", "doc_id", 0.0, n=2).collect()
+    }
+    lsh = fuzzy.minhash_lsh_pairs(
+        neardup_docs, "text", "doc_id", threshold=0.5, num_hashes=32, bands=16, shingle_n=2
+    )
+    for r in lsh.collect():
+        assert abs(exact[(r["id_a"], r["id_b"])] - r["jaccard"]) < 1e-9
+    sure = {k for k, v in exact.items() if v >= 0.9}
+    got = {(r["id_a"], r["id_b"]) for r in lsh.collect()}
+    assert sure <= got
+
+
+def test_embedding_neardup(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),  # near dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),  # orthogonal
+        (3, [-1.0, 0.0, 0.0, 0.0]),  # opposite
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = fuzzy.embedding_neardup_pairs(df, "embedding", "vec_id", threshold=0.95)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(0, 1)}
+
+
+def test_brute_force_topk(vecs, spark):
+    queries = (
+        vecs.limit(3)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+    out = similarity.brute_force_topk(vecs, queries, k=5)
+    rows = out.collect()
+    assert len(rows) == 15
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r["rank"])
+        # rank 1 is the query itself (cosine ~1)
+        assert rs[0]["vec_id"] == q and rs[0]["cosine"] > 0.999
+        assert all(a["cosine"] >= b["cosine"] for a, b in zip(rs, rs[1:]))
+
+
+def test_ivf_topk_recall(vecs):
+    queries = (
+        vecs.limit(5)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+    exact = similarity.brute_force_topk(vecs, queries, k=3)
+    approx = similarity.ivf_topk(vecs, queries, k=3, n_cells=8, nprobe=4)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6  # nprobe=half the cells -> decent recall
+    # the query itself must always be found (it lives in the probed cell)
+    assert all((q, q) in a for q, _ in e if _ == q)
+
+
+def test_multimodal_plumbing(spark):
+    media = multimodal.synthetic_media(spark, 20, kind="image")
+    # names + types match the contract (nullability differs by construction)
+    assert [(f.name, f.dataType.simpleString()) for f in media.schema.fields] == [
+        (f.name, f.dataType.simpleString()) for f in multimodal.MEDIA_SCHEMA.fields
+    ]
+    feats = multimodal.extract_features(media, dim=8)
+    rows = feats.select("media_id", "features").collect()
+    assert len(rows) == 20
+    assert all(len(r["features"]) == 8 for r in rows)
+    # deterministic: same input -> same features
+    again = multimodal.extract_features(media, dim=8).select("media_id", "features").collect()
+    assert sorted(map(tuple, ((r["media_id"], tuple(r["features"])) for r in rows))) == sorted(
+        map(tuple, ((r["media_id"], tuple(r["features"])) for r in again))
+    )
+
+
+def test_frame_sample_plan(spark):
+    media = multimodal.synthetic_media(spark, 5, kind="video")
+    frames = multimodal.frame_sample(media, every_ms=500)
+    r = frames.groupBy("media_id").count().collect()
+    meta = {x["media_id"]: x["duration_ms"] for x in media.select("media_id", "meta.duration_ms").collect()}
+    for row in r:
+        expect = (max(meta[row["media_id"]] - 1, 0)) // 500 + 1
+        assert row["count"] == expect
+
+
+def test_decode_image_gated(spark):
+    media = multimodal.synthetic_media(spark, 1)
+    if not multimodal.HAVE_PIL:
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_image(media)
+
+
+def test_real_documents_pipeline(docs):
+    """The full text-feature pass over the driver's documents table."""
+    out = docs.select(
+        "doc_id",
+        text.whitespace_token_count(F.col("text")).alias("ws_tokens"),
+        text.bpe_token_count(F.col("text")).alias("bpe_tokens"),
+        text.language_id(F.col("text")).alias("lang_id"),
+        text.quality_score(F.col("text")).alias("quality"),
+        text.content_fingerprint(F.col("text")).alias("fp"),
+    )
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    assert all(r["bpe_tokens"] >= r["ws_tokens"] for r in rows if r["ws_tokens"] > 0)
+    assert all(0 <= r["quality"] <= 1 for r in rows)
