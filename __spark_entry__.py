@@ -1,38 +1,377 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  -> flagship CDC LWW-state query on sf0.001.
+queries()     -> one callable per implemented operator (SURVEY.md §2 +
+                 training-data ops), (spark, sf_dir) -> DataFrame.
+oracle_sql()  -> DuckDB-equivalent SQL per query (same column aliases);
+                 omitted only for genuinely non-SQL ops (LSH/IVF
+                 approximations) which get rows-only checks.
+
+CDC semantics used on the driver's `events` table (a generic change
+stream): key = user_id, LWW order = (ts, event_id), delete = the key's
+*winning* event having event_type = 'error'.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nifi_processors_spark.operators import fuzzy, similarity, text
+from nifi_processors_spark.operators.dedup import lww_dedup
+from nifi_processors_spark.operators.rules import evaluate, explode_details, route
+from nifi_processors_spark.operators.split import split_positional
+from nifi_processors_spark.operators.template import render_template
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+# one OR-subgroup, two rules — mirrors the reference demo shape (Group 1.xml)
+EVENT_SPEC = {
+    "groups": [
+        {
+            "id": "g1",
+            "subgroups": [
+                {
+                    "id": "sg1",
+                    "rule_op": "or",
+                    "inter_op": "and",
+                    "rules": [
+                        {"id": "r_type", "field": "event_type", "op": "in",
+                         "value": ["purchase", "signup"]},
+                        {"id": "r_value", "field": "value", "op": "gt", "value": 100.0},
+                    ],
+                }
+            ],
+        }
+    ]
+}
+
+_RULE_COND = "(event_type IN ('purchase','signup') OR value > 100.0)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _lww_events(ev: DataFrame) -> DataFrame:
+    return lww_dedup(ev, key=["user_id"], order=["ts", "event_id"])
+
+
+# ---------------------------------------------------------------- queries
+
+
+def q_lww_dedup_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return _lww_events(ev).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.round("value", 2).alias("value"),
+        # ts is TIMESTAMP_NTZ; session TZ is pinned UTC so this cast is exact
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+
+
+def q_cdc_state_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = _lww_events(ev)
+    return w.filter(F.col("event_type") != "error").select(
+        "user_id", "event_id", F.round("value", 2).alias("value")
+    )
+
+
+def q_cdc_delete_antijoin(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    deleted = _lww_events(ev).filter(F.col("event_type") == "error").select("user_id")
+    return ev.select("user_id").distinct().join(deleted, "user_id", "left_anti")
+
+
+def q_rule_route_counts(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return route(evaluate(ev, EVENT_SPEC)).groupBy("route").agg(F.count("*").alias("n"))
+
+
+def q_rule_counters(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return evaluate(ev, EVENT_SPEC).select(
+        "event_id",
+        "rulegroups_passed",
+        "rulegroups_failed",
+        "rules_passed",
+        "rules_failed",
+    )
+
+
+def q_rule_detail_explode(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    d = explode_details(
+        evaluate(ev, EVENT_SPEC, with_details=True), "all groups - all rules", ["event_id"]
+    )
+    return d.select(
+        "event_id", "group_id", "group_failed", "subgroup_id", "subgroup_failed",
+        "inter_op", "rule_op", "rule_id", "rule_failed",
+    )
+
+
+def q_metrics_rollup(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_split_json_field(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", F.get_json_object("props", "$.k").cast("long").alias("k")
+    )
+
+
+def q_split_positional(spark, sf_dir):
+    na = _t(spark, sf_dir, "nation")
+    content = na.select(
+        F.concat_ws(";", F.col("n_name"), F.col("n_regionkey").cast("string")).alias("content")
+    )
+    return split_positional(content, "content", ";", 2, prefix="column_", width=3)
+
+
+def q_template_render(spark, sf_dir):
+    cu = _t(spark, sf_dir, "customer")
+    tmpl = '{"name": "$c_name", "nation": $c_nationkey}'
+    return render_template(cu, tmpl, out_col="content").select("c_custkey", "content")
+
+
+def q_exact_dedup(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return fuzzy.exact_dedup(docs, "text", "doc_id")
+
+
+def q_token_counts(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.whitespace_token_count(F.col("text")).alias("ws_tokens"),
+        text.bpe_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.language_id(F.col("text")).alias("lang_id"))
+
+
+def q_quality_features(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    f_ = text.quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        f_["n_chars"].cast("long").alias("n_chars"),
+        f_["n_words"].cast("long").alias("n_words"),
+        F.regexp_count(F.col("text"), F.lit(r"[A-Za-z]")).cast("long").alias("n_alpha"),
+        F.regexp_count(F.col("text"), F.lit(r"[^\w\s]")).cast("long").alias("n_punct"),
+        F.regexp_count(F.col("text"), F.lit(r"[A-Z]")).cast("long").alias("n_upper"),
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.substring(F.sha2(text.normalize_text(F.col("text")), 256), 1, 15).alias("fp_hex"),
+    )
+
+
+def q_ann_topk(spark, sf_dir):
+    em = _t(spark, sf_dir, "embeddings")
+    vecs = em.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
+    queries = vecs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = similarity.brute_force_topk(vecs, queries, k=3)
+    return out.select("query_id", "vec_id", "rank", F.round("cosine", 3).alias("cosine"))
+
+
+def q_minhash_neardup(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return fuzzy.minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.6, num_hashes=32, bands=16)
+
+
+def q_simhash_sketch(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", fuzzy.simhash64(fuzzy.word_shingles(F.col("text"), 2)).alias("simhash")
+    )
+
+
+def q_ivf_topk(spark, sf_dir):
+    em = _t(spark, sf_dir, "embeddings")
+    vecs = em.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
+    queries = vecs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = similarity.ivf_topk(vecs, queries, k=3, n_cells=8, nprobe=4)
+    return out.select("query_id", "vec_id", "rank")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: CDC LWW state of the sf0.001 event stream, annotated with
+    rule routing — the declarative core of the apply pipeline."""
+    ev = _t(spark, SF_SMOKE, "events")
+    state = _lww_events(ev).filter(F.col("event_type") != "error")
+    return route(evaluate(state, EVENT_SPEC)).select(
+        "user_id", "event_id", "event_type", F.round("value", 2).alias("value"), "route"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "lww_dedup_events": q_lww_dedup_events,
+        "cdc_state_events": q_cdc_state_events,
+        "cdc_delete_antijoin": q_cdc_delete_antijoin,
+        "rule_route_counts": q_rule_route_counts,
+        "rule_counters": q_rule_counters,
+        "rule_detail_explode": q_rule_detail_explode,
+        "metrics_rollup": q_metrics_rollup,
+        "split_json_field": q_split_json_field,
+        "split_positional": q_split_positional,
+        "template_render": q_template_render,
+        "exact_dedup": q_exact_dedup,
+        "token_counts": q_token_counts,
+        "lang_id": q_lang_id,
+        "quality_features": q_quality_features,
+        "fingerprint": q_fingerprint,
+        "ann_topk": q_ann_topk,
+        # rows-only checks (approximate / sketch ops with no exact SQL analogue)
+        "minhash_neardup": q_minhash_neardup,
+        "simhash_sketch": q_simhash_sketch,
+        "ivf_topk": q_ivf_topk,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_LWW_CTE = """
+WITH w AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+"""
+
+_STOP = {
+    "en": "the|and|of|to|in|is|that|it|was|for",
+    "de": "der|die|und|das|ist|nicht|mit|ein|von|zu",
+    "fr": "le|la|et|les|des|est|un|une|que|dans",
+    "es": "el|la|de|que|los|es|un|una|por|con",
+    "it": "il|la|di|che|e|un|una|per|del|non",
+    "pt": "o|a|de|que|os|um|uma|para|com|nao",
+}
+_HITS = {
+    k: f"len(regexp_extract_all(lower(text), '\\b({v})\\b'))" for k, v in _STOP.items()
+}
+_LANG_CASE = f"""
+CASE
+  WHEN {_HITS['en']} > 0 AND {_HITS['en']} >= greatest({_HITS['de']}, {_HITS['fr']}, {_HITS['es']}, {_HITS['it']}, {_HITS['pt']}) THEN 'en'
+  WHEN {_HITS['de']} > 0 AND {_HITS['de']} >= greatest({_HITS['fr']}, {_HITS['es']}, {_HITS['it']}, {_HITS['pt']}) THEN 'de'
+  WHEN {_HITS['fr']} > 0 AND {_HITS['fr']} >= greatest({_HITS['es']}, {_HITS['it']}, {_HITS['pt']}) THEN 'fr'
+  WHEN {_HITS['es']} > 0 AND {_HITS['es']} >= greatest({_HITS['it']}, {_HITS['pt']}) THEN 'es'
+  WHEN {_HITS['it']} > 0 AND {_HITS['it']} >= {_HITS['pt']} THEN 'it'
+  WHEN {_HITS['pt']} > 0 THEN 'pt'
+  ELSE 'und'
+END
+"""
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+_DETAIL_ROW = """
+SELECT event_id, 'g1' AS group_id,
+       CASE WHEN {cond} THEN 0 ELSE 1 END AS group_failed,
+       'sg1' AS subgroup_id,
+       CASE WHEN {cond} THEN 0 ELSE 1 END AS subgroup_failed,
+       'and' AS inter_op, 'or' AS rule_op,
+       '{rid}' AS rule_id,
+       CASE WHEN {rcond} THEN 0 ELSE 1 END AS rule_failed
+FROM events
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "lww_dedup_events": _LWW_CTE
+        + "SELECT user_id, event_id, event_type, round(value, 2) AS value, epoch_us(ts) AS ts_us FROM w WHERE rn = 1",
+        "cdc_state_events": _LWW_CTE
+        + "SELECT user_id, event_id, round(value, 2) AS value FROM w WHERE rn = 1 AND event_type <> 'error'",
+        "cdc_delete_antijoin": _LWW_CTE
+        + """SELECT DISTINCT user_id FROM events
+             WHERE user_id NOT IN (SELECT user_id FROM w WHERE rn = 1 AND event_type = 'error')""",
+        "rule_route_counts": f"""
+            SELECT CASE WHEN {_RULE_COND} THEN 'passed' ELSE 'failed' END AS route,
+                   count(*) AS n
+            FROM events GROUP BY 1""",
+        "rule_counters": f"""
+            SELECT event_id,
+                   CASE WHEN {_RULE_COND} THEN 1 ELSE 0 END AS rulegroups_passed,
+                   CASE WHEN {_RULE_COND} THEN 0 ELSE 1 END AS rulegroups_failed,
+                   (CASE WHEN event_type IN ('purchase','signup') THEN 1 ELSE 0 END
+                    + CASE WHEN value > 100.0 THEN 1 ELSE 0 END) AS rules_passed,
+                   (CASE WHEN event_type IN ('purchase','signup') THEN 0 ELSE 1 END
+                    + CASE WHEN value > 100.0 THEN 0 ELSE 1 END) AS rules_failed
+            FROM events""",
+        "rule_detail_explode": _DETAIL_ROW.format(
+            cond=_RULE_COND, rid="r_type", rcond="event_type IN ('purchase','signup')"
+        )
+        + " UNION ALL "
+        + _DETAIL_ROW.format(cond=_RULE_COND, rid="r_value", rcond="value > 100.0"),
+        "metrics_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus""",
+        "split_json_field": "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events",
+        "split_positional": """
+            SELECT split_part(content, ';', 1) AS column_000,
+                   split_part(content, ';', 2) AS column_001
+            FROM (SELECT n_name || ';' || CAST(n_regionkey AS VARCHAR) AS content FROM nation)""",
+        "template_render": """
+            SELECT c_custkey,
+                   '{"name": "' || c_name || '", "nation": ' || CAST(c_nationkey AS VARCHAR) || '}' AS content
+            FROM customer""",
+        "exact_dedup": f"""
+            SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+            FROM documents GROUP BY {_NORM}""",
+        "token_counts": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(trim(text), '\S+')) AS ws_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
+            FROM documents""",
+        "lang_id": f"SELECT doc_id, {_LANG_CASE} AS lang_id FROM documents",
+        "quality_features": r"""
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   len(regexp_extract_all(trim(text), '\S+')) AS n_words,
+                   len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+                   len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+                   len(regexp_extract_all(text, '[A-Z]')) AS n_upper
+            FROM documents""",
+        "fingerprint": f"SELECT doc_id, substring(sha256({_NORM}), 1, 15) AS fp_hex FROM documents",
+        "ann_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings WHERE vec_id < 5),
+                 scored AS (
+                   SELECT q.query_id, e.vec_id,
+                          list_cosine_similarity(e.embedding::DOUBLE[], q.query_vec::DOUBLE[]) AS cos
+                   FROM embeddings e CROSS JOIN q),
+                 ranked AS (
+                   SELECT query_id, vec_id, cos,
+                          row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+                   FROM scored)
+            SELECT query_id, vec_id, rank, round(cos, 3) AS cosine FROM ranked WHERE rank <= 3""",
+    }
