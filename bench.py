@@ -1,0 +1,114 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Headline metric: the CDC apply pipeline — change-events/sec applied
+end-to-end (tail -> envelope -> LWW dedup -> bucketed MERGE -> checkpoint)
+on a deterministic synthetic change log sized to the scale factor
+(BASELINE.json.metric). Plus per-query wall times for the operator suite
+over the driver's sf tables.
+
+Query timing uses the noop sink (full computation, no write cost);
+the CDC apply timing includes its real parquet writes + snapshot commits —
+that IS the operator.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from nifi_processors_spark.operators.apply import ChangeApplier  # noqa: E402
+from nifi_processors_spark.session import get_spark  # noqa: E402
+from nifi_processors_spark.sources.genlog import GenLogConfig, write_change_log  # noqa: E402
+
+BENCH_QUERIES = [
+    "lww_dedup_events",
+    "cdc_state_events",
+    "rule_counters",
+    "rule_detail_explode",
+    "metrics_rollup",
+    "template_render",
+    "exact_dedup",
+    "token_counts",
+    "lang_id",
+    "fingerprint",
+    "ann_topk",
+    "minhash_neardup",
+]
+
+# CDC changelog size per scale factor (events; content ~300-800 B each)
+EVENTS_BY_SF = {"0.001": 50_000, "0.01": 200_000, "0.1": 1_000_000}
+
+
+def sf_of(sf_dir: str) -> str:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return base[2:] if base.startswith("sf") else base
+
+
+def run_noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+    sf = sf_of(sf_dir)
+    n_events = int(
+        os.environ.get("SPARK_GRAFT_BENCH_EVENTS", EVENTS_BY_SF.get(sf, 200_000))
+    )
+    spark = get_spark("bench", cores=cpus)
+
+    queries = entry_mod.queries()
+    q_times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        df = queries[name](spark, sf_dir)
+        df.count()  # warm: plan + scan cache metadata (not the result)
+        t0 = time.monotonic()
+        run_noop(queries[name](spark, sf_dir))
+        q_times[name] = round(time.monotonic() - t0, 3)
+
+    # ---- CDC apply: the headline ----
+    work = tempfile.mkdtemp(prefix="cdc_bench_")
+    try:
+        cfg = GenLogConfig(
+            n_events=n_events, n_epochs=8, content_blocks_max=8, n_keys=max(n_events // 4, 64)
+        )
+        write_change_log(spark, cfg, f"{work}/changelog")
+        ap = ChangeApplier(
+            spark,
+            table_path=f"{work}/table",
+            changelog_dir=f"{work}/changelog",
+            state_dir=f"{work}/state",
+            n_buckets=max(cpus * 2, 16),
+        )
+        t0 = time.monotonic()
+        ap.run()
+        apply_sec = time.monotonic() - t0
+        final_rows = ap.state().count()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    out = {
+        "metric": "cdc_apply_events_per_sec",
+        "value": round(n_events / apply_sec, 1),
+        "unit": "sec",
+        "queries": {**q_times, "cdc_apply": round(apply_sec, 3)},
+        "sf": sf,
+        "cpus": cpus,
+        "cdc_events": n_events,
+        "cdc_epochs": 8,
+        "cdc_final_rows": final_rows,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

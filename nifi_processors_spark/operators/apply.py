@@ -36,7 +36,6 @@ from ..metrics import MetricsLog
 from ..plans.checkpoint import CheckpointLog
 from ..plans.registry import SchemaRegistry, detect_payload_schema, to_struct, _SPARK_TYPE
 from ..plans.table import IceliteTable, bucket_expr
-from .dedup import lww_dedup
 from .envelope import parse_envelope
 
 ENVELOPE_KEY = ["repo", "path"]
@@ -150,20 +149,14 @@ class ChangeApplier:
             if old in parsed.columns and new not in parsed.columns:
                 parsed = parsed.withColumnRenamed(old, new)
 
-        good = parsed.filter(~F.col("_corrupt"))
-        n_corrupt = 0
-        if self.collect_metrics:
-            n_corrupt = parsed.filter(F.col("_corrupt")).count()
-
-        # 3. LWW dedup within the epoch
-        winners = lww_dedup(good)
-
-        # 4. align to current table columns (null for cols this epoch lacks)
+        # 3. align to current table columns (null for cols this epoch lacks);
+        #    within-epoch LWW dedup is subsumed by the merge window — one
+        #    key-shuffle per epoch instead of two
         snap = table.snapshot()
         data_cols = table.field_names(snap)
         sel = []
         for c in data_cols:
-            if c in winners.columns:
+            if c in parsed.columns:
                 sel.append(F.col(c))
             else:
                 ftype = next(
@@ -172,27 +165,32 @@ class ChangeApplier:
                 )
                 from ..plans.table import _type_from_json
                 sel.append(F.lit(None).cast(_type_from_json(ftype)).alias(c))
-        changes = winners.select(*sel, "op", "commit_seq", "event_seq")
+        events = parsed.select(
+            *sel, "op", "commit_seq", "event_seq", "_corrupt"
+        ).persist()
 
-        stats_extra: dict = {}
-        if self.collect_metrics:
-            changes = changes.persist()
-            per_bucket = (
-                changes.withColumn("_b", bucket_expr(ENVELOPE_KEY, snap["n_buckets"]))
-                .groupBy("_b")
-                .agg(
-                    F.count("*").alias("rows"),
-                    F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("dels"),
-                )
-                .collect()
+        # 4. ONE aggregation job: per-bucket rows/deletes/corrupt -> affected
+        #    buckets, rows_in, and the per-partition lineage in one pass
+        per_bucket = (
+            events.withColumn("_b", bucket_expr(ENVELOPE_KEY, snap["n_buckets"]))
+            .groupBy("_b")
+            .agg(
+                F.count("*").alias("rows"),
+                F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("dels"),
+                F.sum(F.col("_corrupt").cast("int")).alias("corrupt"),
             )
-            stats_extra = {
-                "rows_upserted": int(sum(r["rows"] - r["dels"] for r in per_bucket)),
-                "rows_deleted": int(sum(r["dels"] for r in per_bucket)),
-                "partitions": [
-                    {"bucket": int(r["_b"]), "rows": int(r["rows"])} for r in per_bucket
-                ],
-            }
+            .collect()
+        )
+        n_corrupt = int(sum(r["corrupt"] for r in per_bucket))
+        affected = sorted(int(r["_b"]) for r in per_bucket if r["rows"] > r["corrupt"])
+        stats_extra = {
+            "rows_upserted": int(sum(r["rows"] - r["dels"] - r["corrupt"] for r in per_bucket)),
+            "rows_deleted": int(sum(r["dels"] for r in per_bucket)),
+            "partitions": [
+                {"bucket": int(r["_b"]), "rows": int(r["rows"])} for r in per_bucket
+            ],
+        }
+        changes = events.filter(~F.col("_corrupt")).drop("_corrupt")
 
         # 5. MERGE (copy-on-write, LWW vs stored state)
         input_files = sorted(
@@ -201,10 +199,11 @@ class ChangeApplier:
             if f.endswith(".parquet")
         )
         new_sid, mstats = table.merge(
-            changes, lineage={"op": "merge", "epoch": epoch, "input_files": input_files}
+            changes,
+            lineage={"op": "merge", "epoch": epoch, "input_files": input_files},
+            affected=affected,
         )
-        if self.collect_metrics:
-            changes.unpersist()
+        events.unpersist()
 
         if crash is not None:
             crash("after_merge", epoch)
@@ -213,7 +212,7 @@ class ChangeApplier:
         rec = {
             "epoch": epoch,
             "snapshot_id": new_sid,
-            "rows_in": raw.count() if self.collect_metrics else None,
+            "rows_in": int(sum(r["rows"] for r in per_bucket)),
             "rows_corrupt": n_corrupt,
             "affected_buckets": mstats.get("affected_buckets"),
             "wall_ms": int((time.monotonic() - t0) * 1000),

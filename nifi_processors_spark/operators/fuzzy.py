@@ -50,7 +50,12 @@ def exact_dedup_keep(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def word_shingles(c: Column, n: int = 3) -> Column:
-    """Distinct word n-grams as an array<string> (expression-only)."""
+    """Distinct word n-grams as an array<string> (expression-only).
+
+    Perf caveat: as a single expression the `words` subtree is inlined
+    (and re-evaluated) inside the transform lambda; on hot paths use
+    ``with_word_shingles`` which stages the words array as a column first
+    (~3x faster on real documents)."""
     words = F.split(normalize_text(c), " ")
     k = F.greatest(F.size(words) - (n - 1), F.lit(1))
     return F.array_distinct(
@@ -59,6 +64,31 @@ def word_shingles(c: Column, n: int = 3) -> Column:
             lambda i: F.concat_ws(" ", *[F.element_at(words, i + j + 1) for j in range(n)]),
         )
     )
+
+
+def with_word_shingles(df: DataFrame, text_col: str, out_col: str, n: int = 3) -> DataFrame:
+    """Staged shingling: materialize the split-words array in its own
+    projection so the n-gram transform references a bound column instead of
+    re-running the split per element."""
+    words = "_ws_words"
+    out = (
+        df.withColumn(words, F.split(normalize_text(F.col(text_col)), " "))
+        .withColumn(
+            out_col,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(0), F.greatest(F.size(words) - (n - 1), F.lit(1)) - 1
+                    ),
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at(F.col(words), i + j + 1) for j in range(n)]
+                    ),
+                )
+            ),
+        )
+        .drop(words)
+    )
+    return out
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
@@ -106,28 +136,39 @@ def minhash_lsh_pairs(
     candidates only.
     """
     rows = num_hashes // bands
-    sh = df.select(
-        F.col(id_col).alias("_id"), word_shingles(F.col(text_col), shingle_n).alias("_sh")
+    sh = (
+        with_word_shingles(df, text_col, "_sh", shingle_n)
+        .select(F.col(id_col).alias("_id"), "_sh")
+        .persist()
     )
-    sig = sh.withColumn("_bands", lsh_bands(minhash_signature(F.col("_sh"), num_hashes), bands, rows))
-    exploded = sig.select("_id", "_sh", F.explode("_bands").alias("_b"))
-    left = exploded.select(
-        F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"), "_b"
+    # lean band table: (band_key, id) only — the 16x band explosion never
+    # carries the shingle arrays through the shuffle. The signature is
+    # staged as a column (else lsh_bands would inline+recompute it per
+    # element_at), and the band table is persisted (the self-join would
+    # otherwise recompute it for each side).
+    band_tbl = (
+        sh.withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes))
+        .select("_id", F.explode(lsh_bands(F.col("_sig"), bands, rows)).alias("_b"))
+        .select("_id", "_b")
+        .persist()
     )
-    right = exploded.select(
-        F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"), "_b"
-    )
+    left = band_tbl.select(F.col("_id").alias("id_a"), "_b")
+    right = band_tbl.select(F.col("_id").alias("id_b"), "_b")
     cand = (
         left.join(right, ["_b"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b")
+        .distinct()
     )
-    return (
-        cand.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+    # verification joins shingles back by id (hash joins on a long key)
+    verified = (
+        cand.join(sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    return verified
 
 
 # ---------------- simhash ----------------
@@ -136,9 +177,15 @@ def minhash_lsh_pairs(
 def simhash64(shingles: Column, bits: int = 64) -> Column:
     """Classic SimHash: bit b is 1 iff sum over shingles of
     (+1 if bit b of xxhash64(s) else -1) > 0. Expression-only — the bit
-    loop is unrolled driver-side (shift amounts must be literals); the
-    shingle hash is computed once and reused by all bit counters."""
-    hashes = F.transform(shingles, lambda s: F.xxhash64(s))
+    loop is unrolled driver-side (shift amounts must be literals).
+
+    Perf caveat: inlines the shingle-hash transform into every bit counter;
+    hot paths should stage ``transform(shingles, xxhash64)`` as a column and
+    call ``simhash64_from_hashes`` (simhash_pairs does)."""
+    return simhash64_from_hashes(F.transform(shingles, lambda s: F.xxhash64(s)), bits)
+
+
+def simhash64_from_hashes(hashes: Column, bits: int = 64) -> Column:
 
     def mk(b: int):
         # NB: closure factory, not a `b=b` default arg — pyspark's HOF
@@ -171,9 +218,10 @@ def simhash_pairs(
     sub-keys (pigeonhole: distance <= 3 implies at least one of the four
     16-bit quarters is identical) — candidates shuffle on sub-key, never
     all-pairs."""
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        simhash64(word_shingles(F.col(text_col), shingle_n)).alias("_sim"),
+    base = (
+        with_word_shingles(df, text_col, "_sh", shingle_n)
+        .withColumn("_hashes", F.transform(F.col("_sh"), lambda s: F.xxhash64(s)))
+        .select(F.col(id_col).alias("_id"), simhash64_from_hashes(F.col("_hashes")).alias("_sim"))
     )
     quarters = base.select(
         "_id",
@@ -210,7 +258,7 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """All-pairs n-gram Jaccard — the small-data oracle baseline the LSH
     variants approximate. O(n^2): use only on bounded groups/samples."""
-    sh = df.select(F.col(id_col).alias("_id"), word_shingles(F.col(text_col), n).alias("_sh"))
+    sh = with_word_shingles(df, text_col, "_sh", n).select(F.col(id_col).alias("_id"), "_sh")
     a = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
     b = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
     return (

@@ -225,14 +225,21 @@ class IceliteTable:
         self,
         changes: DataFrame,
         lineage: dict | None = None,
+        affected: list[int] | None = None,
     ) -> tuple[int, dict]:
-        """Apply a change-set: exactly-one-row-per-key with columns
-        ``key + data columns (current names) + op + commit_seq + event_seq``.
+        """Apply a change-set with columns ``key + data columns (current
+        names) + op + commit_seq + event_seq``. Multiple rows per key are
+        fine: the merge window picks the greatest (commit_seq, event_seq)
+        per key across stored state AND the whole change-set in one pass —
+        within-batch dedup is subsumed (no separate dedup shuffle needed).
 
         A change wins its key iff its (commit_seq, event_seq) >= the stored
         row's — so replays are byte-identical no-ops and cross-epoch
-        out-of-order events cannot regress state. op='D' winners drop the key.
+        out-of-order events cannot regress state. op='D' winners become
+        tombstones (hidden rows) so older late events cannot resurrect keys.
 
+        ``affected`` (bucket ids the change-set touches) can be passed by a
+        caller that already aggregated per-bucket stats, saving one job.
         Returns (new_snapshot_id, merge_stats).
         """
         snap = self.snapshot()
@@ -242,8 +249,9 @@ class IceliteTable:
         bexpr = bucket_expr(key, nb)
 
         ch = changes.withColumn("_bucket", bexpr)
-        # small driver-side list (<= n_buckets) — determines the CoW scope
-        affected = sorted(r["_bucket"] for r in ch.select("_bucket").distinct().collect())
+        if affected is None:
+            # small driver-side list (<= n_buckets) — determines the CoW scope
+            affected = sorted(r["_bucket"] for r in ch.select("_bucket").distinct().collect())
         if not affected:
             return snap["snapshot_id"], {"affected_buckets": 0, "rows_written": 0}
 

@@ -50,6 +50,7 @@ class GenLogConfig:
     seed: int = 42
     n_keys: int | None = None  # default n_events // 4
     evolve_at_epoch: int | None = None  # payload v2 from this epoch on (None = never)
+    content_blocks_max: int = 60  # content length 3..(3+max) 64-char sha blocks
 
     @property
     def keys(self) -> int:
@@ -118,7 +119,7 @@ def generate_change_log(spark: SparkSession, cfg: GenLogConfig) -> DataFrame:
 
     # --- content: header line + sha-chain filler, 192..4032 chars ---
     filler = _hex(s, "content", eid)  # 64 hex chars
-    reps = (_h(s, "len", eid) % 60 + 3).cast("int")  # 3..62 blocks
+    reps = (_h(s, "len", eid) % cfg.content_blocks_max + 3).cast("int")  # 3..max+2 blocks
     content = F.concat(
         F.format_string("// %s/%s@%s\n", repo, path, commit), F.repeat(filler, reps)
     )
