@@ -63,6 +63,7 @@ def main() -> None:
     n_events = int(
         os.environ.get("SPARK_GRAFT_BENCH_EVENTS", EVENTS_BY_SF.get(sf, 200_000))
     )
+    os.environ.setdefault("SPARK_DRIVER_MEM", "32g")
     spark = get_spark("bench", cores=cpus)
 
     queries = entry_mod.queries()
@@ -75,7 +76,8 @@ def main() -> None:
         q_times[name] = round(time.monotonic() - t0, 3)
 
     # ---- CDC apply: the headline ----
-    work = tempfile.mkdtemp(prefix="cdc_bench_")
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="cdc_bench_", dir=shm)
     try:
         cfg = GenLogConfig(
             n_events=n_events, n_epochs=8, content_blocks_max=8, n_keys=max(n_events // 4, 64)

@@ -125,10 +125,27 @@ class ChangeApplier:
     # ------------- the apply -------------
 
     def apply_epoch(self, epoch: int, crash: Callable[[str, int], None] | None = None) -> dict:
-        """Apply one epoch. ``crash(point, epoch)`` is a test hook invoked at
-        'after_merge' (before the marker) to exercise crash-resume."""
+        """Apply one changelog epoch. ``crash(point, epoch)`` is a test hook
+        invoked at 'after_merge' (before the marker) for crash-resume tests."""
+        input_files = sorted(
+            os.path.join(self._epoch_dir(epoch), f)
+            for f in os.listdir(self._epoch_dir(epoch))
+            if f.endswith(".parquet")
+        )
+        return self.apply_batch_df(self.read_epoch(epoch), epoch, input_files, crash)
+
+    def apply_batch_df(
+        self,
+        raw: DataFrame,
+        epoch: int,
+        input_files: list[str] | None = None,
+        crash: Callable[[str, int], None] | None = None,
+    ) -> dict:
+        """Apply one micro-batch of change events (envelope columns +
+        payload_json). Used by both the batch epoch loop and the Structured
+        Streaming foreachBatch front-end (streaming/stream.py)."""
         t0 = time.monotonic()
-        raw = self.read_epoch(epoch)
+        input_files = input_files or []
 
         # 1. schema drift -> registry -> ALTER
         epoch_fields = detect_payload_schema(raw)
@@ -193,11 +210,6 @@ class ChangeApplier:
         changes = events.filter(~F.col("_corrupt")).drop("_corrupt")
 
         # 5. MERGE (copy-on-write, LWW vs stored state)
-        input_files = sorted(
-            os.path.join(self._epoch_dir(epoch), f)
-            for f in os.listdir(self._epoch_dir(epoch))
-            if f.endswith(".parquet")
-        )
         new_sid, mstats = table.merge(
             changes,
             lineage={"op": "merge", "epoch": epoch, "input_files": input_files},

@@ -1,0 +1,163 @@
+"""Streaming front-end, property-based LWW invariants (hypothesis),
+parallelism invariance, and skew-safe repo stats
+(SURVEY.md §5.2 items 6, 8 + §7 M2 hard part #2)."""
+
+import pyspark.sql.functions as F
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from nifi_processors_spark.operators.apply import ChangeApplier
+from nifi_processors_spark.operators.repo_stats import repo_file_stats, top_files_per_repo
+from nifi_processors_spark.sources.genlog import GenLogConfig, generate_change_log, write_change_log
+from nifi_processors_spark.streaming.stream import stream_apply
+
+from .oracle import replay, sha256
+
+# ---------------- streaming ----------------
+
+
+def test_stream_apply_matches_batch(spark, tmp_path):
+    cfg = GenLogConfig(n_events=2000, n_epochs=3)
+    write_change_log(spark, cfg, str(tmp_path / "cl"))
+
+    batch = ChangeApplier(spark, str(tmp_path / "bt"), str(tmp_path / "cl"),
+                          str(tmp_path / "bs"), n_buckets=8)
+    batch.run()
+    want = {
+        (r["repo"], r["path"]): r["sha"]
+        for r in batch.state().select("repo", "path", F.sha2("content", 256).alias("sha")).collect()
+    }
+
+    streaming = ChangeApplier(spark, str(tmp_path / "st"), str(tmp_path / "cl"),
+                              str(tmp_path / "ss"), n_buckets=8)
+    q = stream_apply(spark, streaming, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    got = {
+        (r["repo"], r["path"]): r["sha"]
+        for r in streaming.state().select("repo", "path", F.sha2("content", 256).alias("sha")).collect()
+    }
+    assert got == want
+
+
+# ---------------- property-based LWW (hypothesis drives the dict oracle, ----
+# ---------------- one Spark run per example is too slow; we instead   ----
+# ---------------- generate random event interleavings, apply via the   ----
+# ---------------- ENGINE once per example at tiny scale)               ----
+
+event_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),  # key id
+        st.sampled_from(["I", "U", "D"]),
+        st.integers(min_value=0, max_value=2),  # epoch
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(events=event_strategy)
+def test_lww_property(spark, tmp_path_factory, events):
+    """Random I/U/D interleavings with random epoch placement: engine state
+    == dict-oracle state, regardless of epoch boundaries."""
+    import json
+
+    tmp = tmp_path_factory.mktemp("prop")
+    rows = []
+    for seq, (k, op, epoch) in enumerate(events):
+        payload = None if op == "D" else json.dumps(
+            {"lang": "py", "content": f"content-{k}-{seq}"}, separators=(",", ":")
+        )
+        rows.append(
+            (f"org/r{k % 3}", f"f{k}.py", op, f"{seq:040x}", seq, 0, epoch, payload)
+        )
+    df = spark.createDataFrame(
+        rows,
+        "repo string, path string, op string, commit string, commit_seq long, "
+        "event_seq long, epoch long, payload_json string",
+    )
+    cl = str(tmp / "cl")
+    df.write.partitionBy("epoch").parquet(cl)
+    ap = ChangeApplier(spark, str(tmp / "t"), cl, str(tmp / "s"), n_buckets=4)
+    ap.run()
+    state = ap.state()
+    # a delete-only changelog never learns a payload schema -> no content col
+    sha_col = (
+        F.sha2("content", 256) if "content" in state.columns else F.lit(None).cast("string")
+    )
+    got = {
+        (r["repo"], r["path"]): r["sha"]
+        for r in state.select("repo", "path", sha_col.alias("sha")).collect()
+    }
+    want = {
+        k: sha256(v["content"]) for k, v in replay([dict(zip(
+            ["repo", "path", "op", "commit", "commit_seq", "event_seq", "epoch", "payload_json"], r
+        )) for r in rows]).items()
+    }
+    assert got == want
+
+
+# ---------------- parallelism invariance ----------------
+
+
+def test_parallelism_invariance(spark, tmp_path):
+    """Same changelog applied with different shuffle parallelism and bucket
+    counts -> identical final state (catches order-dependence)."""
+    cfg = GenLogConfig(n_events=2000, n_epochs=3)
+    write_change_log(spark, cfg, str(tmp_path / "cl"))
+
+    states = []
+    for i, (buckets, parts) in enumerate([(4, 2), (16, 32)]):
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        ap = ChangeApplier(spark, str(tmp_path / f"t{i}"), str(tmp_path / "cl"),
+                           str(tmp_path / f"s{i}"), n_buckets=buckets)
+        ap.run()
+        states.append(sorted(
+            (r["repo"], r["path"], r["sha"])
+            for r in ap.state().select("repo", "path", F.sha2("content", 256).alias("sha")).collect()
+        ))
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    assert states[0] == states[1]
+
+
+# ---------------- skew-safe repo stats ----------------
+
+
+@pytest.fixture(scope="module")
+def skewed_state(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("skew")
+    cfg = GenLogConfig(n_events=4000, n_epochs=2)
+    write_change_log(spark, cfg, str(tmp / "cl"))
+    ap = ChangeApplier(spark, str(tmp / "t"), str(tmp / "cl"), str(tmp / "s"), n_buckets=8)
+    ap.run()
+    return ap.state()
+
+
+def test_repo_file_stats_matches_naive(skewed_state):
+    salted = {r["repo"]: (r["n_files"], r["total_bytes"])
+              for r in repo_file_stats(skewed_state, n_salts=8).collect()}
+    naive = {
+        r["repo"]: (r["n"], r["b"])
+        for r in skewed_state.groupBy("repo")
+        .agg(F.count("*").alias("n"), F.sum(F.length("content")).alias("b"))
+        .collect()
+    }
+    assert salted == naive
+    # skew fixture really is skewed: hot repos hold a large share
+    total = sum(n for n, _ in naive.values())
+    hot = sum(n for r, (n, _) in naive.items() if r.startswith("hot/"))
+    assert hot / total > 0.1
+
+
+def test_top_files_per_repo_matches_naive(spark, skewed_state):
+    from pyspark.sql import Window
+
+    got = top_files_per_repo(skewed_state, k=3, order_col="_commit_seq", n_salts=8)
+    w = Window.partitionBy("repo").orderBy(F.col("_commit_seq").desc(), F.col("path"))
+    want = (
+        skewed_state.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 3)
+    )
+    g = sorted((r["repo"], r["path"], r["rank"]) for r in got.select("repo", "path", "rank").collect())
+    x = sorted((r["repo"], r["path"], r["rank"]) for r in want.select("repo", "path", "rank").collect())
+    assert g == x
