@@ -36,7 +36,8 @@ mode = sys.argv[1]; cores = int(sys.argv[2]); changelog = sys.argv[3]; work = sy
 os.makedirs(work, exist_ok=True)
 n_events = int(sys.argv[5]); n_epochs = int(sys.argv[6])
 spark = get_spark("scaling", cores=cores, extra_conf={{"spark.local.dir": f"{{work}}/sparktmp"}})
-cfg = GenLogConfig(n_events=n_events, n_epochs=n_epochs, content_blocks_max=8,
+blocks = int(os.environ.get("SPARK_GRAFT_CONTENT_BLOCKS", "30"))
+cfg = GenLogConfig(n_events=n_events, n_epochs=n_epochs, content_blocks_max=blocks,
                    n_keys=max(n_events // 4, 64))
 if mode == "gen":
     write_change_log(spark, cfg, changelog)
@@ -89,8 +90,18 @@ def main() -> None:
     try:
         changelog = os.path.join(tmp, "changelog")
         run_level("gen", args.n * 4, changelog, tmp, args.events, args.epochs)
-        lo = run_level("run", args.n, changelog, os.path.join(tmp, f"w{args.n}"), args.events, args.epochs)
-        hi = run_level("run", args.n * 4, changelog, os.path.join(tmp, f"w{args.n*4}"), args.events, args.epochs)
+        # the sandbox shows transient multi-minute noisy-neighbor slowdowns;
+        # alternate the levels and keep the best trial of each so a noise
+        # burst cannot land on one level only
+        trials: dict[int, list[dict]] = {args.n: [], args.n * 4: []}
+        for t in range(2):
+            for cores in (args.n, args.n * 4):
+                trials[cores].append(
+                    run_level("run", cores, changelog,
+                              os.path.join(tmp, f"w{cores}_{t}"), args.events, args.epochs)
+                )
+        lo = min(trials[args.n], key=lambda r: r["sec"])
+        hi = min(trials[args.n * 4], key=lambda r: r["sec"])
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -35,21 +35,49 @@ PAYLOAD_V2 = T.StructType(
 )
 
 
+CORRUPT_COL = "_corrupt_record"
+
+
 def parse_envelope(changes: DataFrame, payload_schema: T.StructType) -> DataFrame:
     """Parse payload_json into typed columns per ``payload_schema``.
 
     Output: envelope columns + one column per payload field + ``_corrupt``
-    flag (true when payload_json was non-null but unparseable). Delete
-    events carry a null payload and are not corrupt.
+    flag. Spark's PERMISSIVE from_json returns a null-FIELD struct (not a
+    null struct) for malformed input, so corruption is detected the
+    canonical way: a ``columnNameOfCorruptRecord`` field that is non-null
+    exactly when the parse failed. Delete events carry a null payload and
+    are not corrupt.
     """
-    parsed = changes.withColumn(
-        "_payload", F.from_json(F.col("payload_json"), payload_schema)
+    schema_with_cr = T.StructType(
+        payload_schema.fields + [T.StructField(CORRUPT_COL, T.StringType())]
     )
-    corrupt = F.col("payload_json").isNotNull() & F.col("_payload").isNull()
+    parsed = changes.withColumn(
+        "_payload",
+        F.from_json(
+            F.col("payload_json"),
+            schema_with_cr,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+        ),
+    )
+    corrupt = F.col("payload_json").isNotNull() & (
+        F.col("_payload").isNull() | F.col(f"_payload.{CORRUPT_COL}").isNotNull()
+    )
     out = parsed.withColumn("_corrupt", corrupt)
     for f in payload_schema.fields:
         out = out.withColumn(f.name, F.col(f"_payload.{f.name}"))
     return out.drop("_payload", "payload_json")
+
+
+def corrupt_flag(payload_json, payload_schema: T.StructType):
+    """Boolean Column: true when payload_json is non-null but unparseable
+    (for quarantining raw rows without going through parse_envelope)."""
+    schema_with_cr = T.StructType(
+        payload_schema.fields + [T.StructField(CORRUPT_COL, T.StringType())]
+    )
+    p = F.from_json(
+        payload_json, schema_with_cr, {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL}
+    )
+    return payload_json.isNotNull() & (p.isNull() | p[CORRUPT_COL].isNotNull())
 
 
 def quarantine_split(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
