@@ -50,14 +50,24 @@ write_change_log(spark, wcfg, f"{{work}}/warm_cl")
 ChangeApplier(spark, f"{{work}}/warm_table", f"{{work}}/warm_cl", f"{{work}}/warm_state",
               n_buckets=max(cores * 2, 16)).run()
 
+def cpu_sample():
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = [int(x) for x in parts[1:9]]  # user nice sys idle iowait irq softirq steal
+    return vals
+
 ap = ChangeApplier(spark, f"{{work}}/table", changelog, f"{{work}}/state",
                    n_buckets=max(cores * 2, 16))
-t0 = time.monotonic()
+c0 = cpu_sample(); t0 = time.monotonic()
 ap.run()
-sec = time.monotonic() - t0
+sec = time.monotonic() - t0; c1 = cpu_sample()
+d = [b - a for a, b in zip(c0, c1)]; tot = max(sum(d), 1)
+steal_pct = round(100.0 * d[7] / tot, 2)
+busy_pct = round(100.0 * (d[0] + d[1] + d[2]) / tot, 2)
 rows = ap.state().count()
 print(json.dumps({{"cores": cores, "sec": round(sec, 2),
-                   "events_per_sec": round(n_events / sec, 1), "final_rows": rows}}))
+                   "events_per_sec": round(n_events / sec, 1), "final_rows": rows,
+                   "steal_pct": steal_pct, "busy_pct": busy_pct}}))
 spark.stop()
 """
 
@@ -80,6 +90,7 @@ def main() -> None:
     p.add_argument("--events", type=int, default=4_000_000)
     p.add_argument("--epochs", type=int, default=4)
     p.add_argument("--n", type=int, default=8, help="small level N (large is 4N)")
+    p.add_argument("--trials", type=int, default=3)
     args = p.parse_args()
 
     # RAM-backed workspace: the sandbox's virtual disk has wildly variable
@@ -90,18 +101,23 @@ def main() -> None:
     try:
         changelog = os.path.join(tmp, "changelog")
         run_level("gen", args.n * 4, changelog, tmp, args.events, args.epochs)
-        # the sandbox shows transient multi-minute noisy-neighbor slowdowns;
-        # alternate the levels and keep the best trial of each so a noise
-        # burst cannot land on one level only
+        # The sandbox shows 2-3x wall-clock swings between back-to-back
+        # identical runs with ~0% reported steal (hypervisor contention that
+        # the guest cannot see). Interleave several trials per level and
+        # report best-of (the contention only ever slows a run down, so the
+        # minimum approximates the clean-machine number).
         trials: dict[int, list[dict]] = {args.n: [], args.n * 4: []}
-        for t in range(2):
+        for t in range(args.trials):
             for cores in (args.n, args.n * 4):
-                trials[cores].append(
-                    run_level("run", cores, changelog,
+                r = run_level("run", cores, changelog,
                               os.path.join(tmp, f"w{cores}_{t}"), args.events, args.epochs)
-                )
+                shutil.rmtree(os.path.join(tmp, f"w{cores}_{t}"), ignore_errors=True)
+                print(json.dumps({"trial": t, **r}), flush=True)
+                trials[cores].append(r)
         lo = min(trials[args.n], key=lambda r: r["sec"])
         hi = min(trials[args.n * 4], key=lambda r: r["sec"])
+        lo["all_sec"] = sorted(r["sec"] for r in trials[args.n])
+        hi["all_sec"] = sorted(r["sec"] for r in trials[args.n * 4])
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -129,6 +145,8 @@ def main() -> None:
             f"| level | cores | wall (s) | events/s |\n|---|---|---|---|\n"
             f"| N | {lo['cores']} | {lo['sec']} | {lo['events_per_sec']:,} |\n"
             f"| 4N | {hi['cores']} | {hi['sec']} | {hi['events_per_sec']:,} |\n\n"
+            f"All trial walls (s): N={lo['all_sec']}, 4N={hi['all_sec']} "
+            f"(best-of reported; see harness docstring on sandbox noise).\n\n"
             f"Speedup N->4N: **{speedup:.2f}x**, scaling efficiency: **{eff:.3f}** "
             f"(target >= 0.8 per BASELINE.json).\n"
         )

@@ -222,6 +222,33 @@ def q_ivf_topk(spark, sf_dir):
     return out.select("query_id", "vec_id", "rank")
 
 
+def q_salted_agg(spark, sf_dir):
+    """Explicit two-phase salted aggregation (hot-key skew pattern from the
+    north rule) — must equal a plain GROUP BY."""
+    li = _t(spark, sf_dir, "lineitem")
+    partial = (
+        li.withColumn("_salt", F.pmod(F.xxhash64("l_orderkey"), F.lit(16)).cast("int"))
+        .groupBy("l_suppkey", "_salt")
+        .agg(F.sum("l_quantity").alias("_q"), F.count("*").alias("_n"))
+    )
+    return partial.groupBy("l_suppkey").agg(
+        F.round(F.sum("_q"), 2).alias("sum_qty"), F.sum("_n").alias("n_items")
+    )
+
+
+def q_topk_per_group(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_linenumber")
+    )
+    return (
+        li.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("l_orderkey", "l_linenumber", "rank",
+                F.round("l_extendedprice", 2).alias("price"))
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: CDC LWW state of the sf0.001 event stream, annotated with
     rule routing — the declarative core of the apply pipeline."""
@@ -250,6 +277,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_features": q_quality_features,
         "fingerprint": q_fingerprint,
         "ann_topk": q_ann_topk,
+        "salted_agg": q_salted_agg,
+        "topk_per_group": q_topk_per_group,
         # rows-only checks (approximate / sketch ops with no exact SQL analogue)
         "minhash_neardup": q_minhash_neardup,
         "simhash_sketch": q_simhash_sketch,
@@ -363,6 +392,15 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '[A-Z]')) AS n_upper
             FROM documents""",
         "fingerprint": f"SELECT doc_id, substring(sha256({_NORM}), 1, 15) AS fp_hex FROM documents",
+        "salted_agg": """
+            SELECT l_suppkey, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_items
+            FROM lineitem GROUP BY l_suppkey""",
+        "topk_per_group": """
+            SELECT l_orderkey, l_linenumber, rank, round(l_extendedprice, 2) AS price
+            FROM (SELECT *, row_number() OVER (PARTITION BY l_orderkey
+                        ORDER BY l_extendedprice DESC, l_linenumber) AS rank
+                  FROM lineitem)
+            WHERE rank <= 3""",
         "ann_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings WHERE vec_id < 5),
                  scored AS (

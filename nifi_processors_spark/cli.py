@@ -1,0 +1,76 @@
+"""spark-submit entry point for the CDC apply loop.
+
+On a real cluster (the north rule's deployment shape)::
+
+    zip -r nifi_processors_spark.zip nifi_processors_spark
+    spark-submit --py-files nifi_processors_spark.zip \\
+        -m nifi_processors_spark.cli \\
+        apply --table s3://bucket/repo_files --changelog s3://bucket/changelog \\
+              --state s3://bucket/_state --buckets 4096
+
+Locally (this sandbox) the same module runs under ``python -m``. The
+SparkSession comes from spark-submit's conf when present; local settings
+are only applied as fallbacks (session.get_spark).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from .operators.apply import ChangeApplier
+from .session import get_spark
+from .sources.genlog import GenLogConfig, write_change_log
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="nifi_processors_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ap_cmd = sub.add_parser("apply", help="apply all pending changelog epochs")
+    ap_cmd.add_argument("--table", required=True)
+    ap_cmd.add_argument("--changelog", required=True)
+    ap_cmd.add_argument("--state", required=True)
+    ap_cmd.add_argument("--buckets", type=int, default=32)
+    ap_cmd.add_argument("--rename-hint", action="append", default=[],
+                        help="new=old payload column rename hint (repeatable)")
+
+    gen_cmd = sub.add_parser("generate", help="write a deterministic synthetic changelog")
+    gen_cmd.add_argument("--out", required=True)
+    gen_cmd.add_argument("--events", type=int, default=100_000)
+    gen_cmd.add_argument("--epochs", type=int, default=8)
+    gen_cmd.add_argument("--seed", type=int, default=42)
+    gen_cmd.add_argument("--evolve-at", type=int, default=None)
+
+    st_cmd = sub.add_parser("state", help="print table state row count + schema")
+    st_cmd.add_argument("--table", required=True)
+    st_cmd.add_argument("--changelog", required=True)
+    st_cmd.add_argument("--state", required=True)
+
+    args = p.parse_args(argv)
+    spark = get_spark("nifi_processors_spark.cli")
+
+    if args.cmd == "generate":
+        cfg = GenLogConfig(n_events=args.events, n_epochs=args.epochs,
+                           seed=args.seed, evolve_at_epoch=args.evolve_at)
+        write_change_log(spark, cfg, args.out)
+        print(json.dumps({"written": args.out, "events": args.events, "epochs": args.epochs}))
+        return 0
+
+    hints = dict(h.split("=", 1) for h in getattr(args, "rename_hint", []))
+    applier = ChangeApplier(spark, args.table, args.changelog, args.state,
+                            n_buckets=args.buckets, rename_hints=hints or None)
+    if args.cmd == "apply":
+        for rec in applier.run():
+            print(json.dumps(rec))
+        return 0
+    if args.cmd == "state":
+        df = applier.state()
+        print(json.dumps({"rows": df.count(), "schema": df.schema.simpleString()}))
+        return 0
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

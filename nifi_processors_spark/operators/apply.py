@@ -14,12 +14,13 @@ change log is applied as one declarative DataFrame plan —
       -> copy-on-write bucketed MERGE (only touched buckets rewritten)
       -> epoch commit marker (exactly-once) + lineage/metrics record
 
-Scale notes: the epoch plan has exactly two shuffles (dedup window on the
-key; merge repartition by bucket — same key family, AQE-coalesced), reads
-only affected buckets of the target, and keeps everything JVM-side (no
-Python row loop anywhere). Hot-repo skew cannot stall the window because
-the partition key is the full (repo, path); the merge spreads buckets
-evenly by hash.
+Scale notes: within-epoch dedup is folded into the merge window, so an
+epoch costs ONE key shuffle (window over state ∪ events) plus one bucket
+repartition for the write; per-epoch metrics come from a single skinny
+(column-pruned, uncached) aggregation. Only affected buckets of the
+target are read/rewritten. Everything stays JVM-side (no Python row loop
+anywhere). Hot-repo skew cannot stall the window because the partition
+key is the full (repo, path); the merge spreads buckets evenly by hash.
 """
 
 from __future__ import annotations
@@ -209,7 +210,10 @@ class ChangeApplier:
             quarantine = raw.filter(
                 corrupt_flag(F.col("payload_json"), to_struct(epoch_fields))
             )
-            quarantine.write.mode("append").parquet(self.quarantine_dir)
+            # per-epoch dir + overwrite => crash-replays stay idempotent
+            quarantine.drop("epoch").write.mode("overwrite").parquet(
+                os.path.join(self.quarantine_dir, f"epoch={epoch}")
+            )
         affected = sorted(int(r["_b"]) for r in per_bucket if r["rows"] > r["corrupt"])
         stats_extra = {
             "rows_upserted": int(sum(r["rows"] - r["dels"] - r["corrupt"] for r in per_bucket)),

@@ -269,23 +269,37 @@ class IceliteTable:
             F.lit(1).alias("_is_change"),
         )
         unioned = old.unionByName(chn)
-        w = Window.partitionBy(*key).orderBy(
-            F.col("_commit_seq").desc(), F.col("_event_seq").desc(), F.col("_is_change").desc()
+        # ONE shuffle total: distribute by bucket (a key lives in exactly one
+        # bucket), sort within partitions by (key, seq desc), and keep the
+        # first row of each key group — per-key LWW without a second
+        # exchange, and the output is already bucket-clustered for the
+        # partitionBy write. (A window partitioned by the full key would
+        # shuffle on key and then AGAIN on bucket — 2x the data movement.)
+        w = Window.partitionBy("_bucket").orderBy(
+            *[F.col(c) for c in key],
+            F.col("_commit_seq").desc(),
+            F.col("_event_seq").desc(),
+            F.col("_is_change").desc(),
         )
+        prev = [F.lag(F.col(c)).over(w) for c in key]
+        # keys are non-null; a row is its key-group head iff there is no
+        # previous row (lag null) or ANY key part differs from the previous row
+        head = prev[0].isNull()
+        diff = F.lit(False)
+        for c, p in zip(key, prev):
+            diff = diff | (p != F.col(c))
         # the per-key winner is kept even when it is a delete: tombstones
         # carry the delete's sequence so older late events cannot win later
         survivors = (
-            unioned.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
+            unioned.repartition(min(len(affected), 64), F.col("_bucket"))
+            .withColumn("_first", head | diff)
+            .filter(F.col("_first"))
             .select(*data_cols, *SYS_COLS, "_bucket")
         )
 
         new_sid = snap["snapshot_id"] + 1
         out_dir = os.path.join(self.data_dir, f"snap{new_sid}")
-        # one shuffle, partitioned by bucket -> one file set per bucket dir
-        survivors.repartition(min(len(affected), 64), F.col("_bucket")).write.mode(
-            "overwrite"
-        ).partitionBy("_bucket").parquet(out_dir)
+        survivors.write.mode("overwrite").partitionBy("_bucket").parquet(out_dir)
 
         new_buckets = dict(snap["buckets"])
         rows_written = 0
