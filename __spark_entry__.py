@@ -222,6 +222,27 @@ def q_ivf_topk(spark, sf_dir):
     return out.select("query_id", "vec_id", "rank")
 
 
+def q_asof_join(spark, sf_dir):
+    """Each purchase event matched to the user's most recent click at or
+    before it (as-of join — union+carry, one shuffle; operators/asof.py)."""
+    from nifi_processors_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.round("value", 2).alias("value")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id"),
+        F.round("value", 2).alias("click_value"),
+    )
+    out = asof_join(purchases, clicks, on="ts", by=["user_id"],
+                    right_cols=["click_id", "click_value"], suffix="")
+    return out.select(
+        "event_id", "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "value", "click_id", "click_value",
+    )
+
+
 def q_salted_agg(spark, sf_dir):
     """Explicit two-phase salted aggregation (hot-key skew pattern from the
     north rule) — must equal a plain GROUP BY."""
@@ -277,6 +298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_features": q_quality_features,
         "fingerprint": q_fingerprint,
         "ann_topk": q_ann_topk,
+        "asof_join": q_asof_join,
         "salted_agg": q_salted_agg,
         "topk_per_group": q_topk_per_group,
         # rows-only checks (approximate / sketch ops with no exact SQL analogue)
@@ -392,6 +414,17 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '[A-Z]')) AS n_upper
             FROM documents""",
         "fingerprint": f"SELECT doc_id, substring(sha256({_NORM}), 1, 15) AS fp_hex FROM documents",
+        "asof_join": """
+            WITH purchases AS (
+              SELECT event_id, user_id, ts, round(value, 2) AS value
+              FROM events WHERE event_type = 'purchase'),
+            clicks AS (
+              SELECT user_id, ts, event_id AS click_id, round(value, 2) AS click_value
+              FROM events WHERE event_type = 'click')
+            SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, p.value,
+                   c.click_id, c.click_value
+            FROM purchases p ASOF LEFT JOIN clicks c
+              ON p.user_id = c.user_id AND p.ts >= c.ts""",
         "salted_agg": """
             SELECT l_suppkey, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_items
             FROM lineitem GROUP BY l_suppkey""",

@@ -60,7 +60,8 @@ def main(argv: list[str] | None = None) -> int:
 
     hints = dict(h.split("=", 1) for h in getattr(args, "rename_hint", []))
     applier = ChangeApplier(spark, args.table, args.changelog, args.state,
-                            n_buckets=args.buckets, rename_hints=hints or None)
+                            n_buckets=getattr(args, "buckets", 32),
+                            rename_hints=hints or None)
     if args.cmd == "apply":
         for rec in applier.run():
             print(json.dumps(rec))

@@ -37,7 +37,9 @@ def _norm_cell(v):
 
 def _norm_rows(cols, rows):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm_cell(r[i]) for i in idx) for r in rows)
+    return sorted(
+        (tuple(_norm_cell(r[i]) for i in idx) for r in rows), key=repr
+    )
 
 
 ORACLES = entry_mod.oracle_sql()
