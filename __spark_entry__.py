@@ -270,6 +270,40 @@ def q_topk_per_group(spark, sf_dir):
     )
 
 
+def q_sessionize(spark, sf_dir):
+    """Sessionization: new session when the gap to the previous event of the
+    same user exceeds 30 min (lag + running sum of boundary flags)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.lag(F.col("ts").cast("timestamp")).over(w)
+    )
+    new_sess = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
+    return (
+        ev.withColumn("_new", new_sess)
+        .withColumn(
+            "session_id",
+            F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .select("event_id", "user_id", "session_id")
+    )
+
+
+def q_rollup_agg(spark, sf_dir):
+    """ROLLUP aggregation (grouping-sets family)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: CDC LWW state of the sf0.001 event stream, annotated with
     rule routing — the declarative core of the apply pipeline."""
@@ -300,6 +334,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "asof_join": q_asof_join,
         "salted_agg": q_salted_agg,
+        "sessionize": q_sessionize,
+        "rollup_agg": q_rollup_agg,
         "topk_per_group": q_topk_per_group,
         # rows-only checks (approximate / sketch ops with no exact SQL analogue)
         "minhash_neardup": q_minhash_neardup,
@@ -428,6 +464,19 @@ def oracle_sql() -> dict[str, str]:
         "salted_agg": """
             SELECT l_suppkey, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_items
             FROM lineitem GROUP BY l_suppkey""",
+        "sessionize": """
+            SELECT event_id, user_id,
+                   sum(CASE WHEN gap_us IS NULL OR gap_us > 30*60*1000000 THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM (SELECT event_id, user_id, ts,
+                         epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+                  FROM events)""",
+        "rollup_agg": """
+            SELECT coalesce(l_returnflag, 'ALL') AS rf,
+                   coalesce(l_linestatus, 'ALL') AS ls,
+                   round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
         "topk_per_group": """
             SELECT l_orderkey, l_linenumber, rank, round(l_extendedprice, 2) AS price
             FROM (SELECT *, row_number() OVER (PARTITION BY l_orderkey

@@ -64,7 +64,10 @@ def main() -> None:
         os.environ.get("SPARK_GRAFT_BENCH_EVENTS", EVENTS_BY_SF.get(sf, 200_000))
     )
     os.environ.setdefault("SPARK_DRIVER_MEM", "32g")
-    spark = get_spark("bench", cores=cpus)
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="cdc_bench_", dir=shm)
+    # tmpfs for shuffle/table I/O: the sandbox disk swings 10x run-to-run
+    spark = get_spark("bench", cores=cpus, extra_conf={"spark.local.dir": f"{work}/sparktmp"})
 
     queries = entry_mod.queries()
     q_times: dict[str, float] = {}
@@ -76,13 +79,18 @@ def main() -> None:
         q_times[name] = round(time.monotonic() - t0, 3)
 
     # ---- CDC apply: the headline ----
-    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    work = tempfile.mkdtemp(prefix="cdc_bench_", dir=shm)
+    n_epochs = 4
     try:
         cfg = GenLogConfig(
-            n_events=n_events, n_epochs=8, content_blocks_max=8, n_keys=max(n_events // 4, 64)
+            n_events=n_events, n_epochs=n_epochs, content_blocks_max=8,
+            n_keys=max(n_events // 4, 64)
         )
         write_change_log(spark, cfg, f"{work}/changelog")
+        # warmup: same plan shapes, tiny data (JIT + codegen out of the timing)
+        wcfg = GenLogConfig(n_events=20000, n_epochs=2, content_blocks_max=8, n_keys=5000)
+        write_change_log(spark, wcfg, f"{work}/warm_cl")
+        ChangeApplier(spark, f"{work}/warm_t", f"{work}/warm_cl", f"{work}/warm_s",
+                      n_buckets=max(cpus * 2, 16)).run()
         ap = ChangeApplier(
             spark,
             table_path=f"{work}/table",
@@ -105,7 +113,7 @@ def main() -> None:
         "sf": sf,
         "cpus": cpus,
         "cdc_events": n_events,
-        "cdc_epochs": 8,
+        "cdc_epochs": n_epochs,
         "cdc_final_rows": final_rows,
     }
     print(json.dumps(out))
