@@ -14,6 +14,11 @@ stream): key = user_id, LWW order = (ts, event_id), delete = the key's
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window

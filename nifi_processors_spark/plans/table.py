@@ -338,6 +338,42 @@ class IceliteTable:
         self._commit(new_snap)
         return new_sid, stats
 
+    def expire_snapshots(self, keep_last: int = 2) -> list[int]:
+        """Storage hygiene for a long-running table: delete snapshot metadata
+        and data files reachable ONLY from snapshots older than the last
+        ``keep_last``. Files shared with retained snapshots (untouched
+        buckets) survive. Returns the expired snapshot ids."""
+        import shutil
+
+        current = self.current_snapshot_id()
+        all_sids = sorted(
+            int(fn[1:-5])
+            for fn in os.listdir(self.meta_dir)
+            if fn.startswith("v") and fn.endswith(".json")
+        )
+        keep = [s for s in all_sids if s > current - keep_last] or [current]
+        expire = [s for s in all_sids if s not in keep]
+        live_files: set[str] = set()
+        for sid in keep:
+            snap = self.snapshot(sid)
+            for files in snap["buckets"].values():
+                live_files.update(fe["path"] for fe in files)
+        for sid in expire:
+            snap = self.snapshot(sid)
+            for files in snap["buckets"].values():
+                for fe in files:
+                    if fe["path"] not in live_files and os.path.exists(fe["path"]):
+                        os.remove(fe["path"])
+            os.remove(os.path.join(self.meta_dir, f"v{sid}.json"))
+        # drop now-empty snapshot data dirs
+        for entry in os.listdir(self.data_dir):
+            d = os.path.join(self.data_dir, entry)
+            if os.path.isdir(d) and not any(
+                files for _, _, files in os.walk(d)
+            ):
+                shutil.rmtree(d, ignore_errors=True)
+        return expire
+
     def expire_tombstones(self, min_commit_seq: int, lineage: dict | None = None) -> int:
         """Compaction: drop tombstones with _commit_seq < min_commit_seq (a
         lateness watermark no in-flight event can precede). Bounds tombstone
