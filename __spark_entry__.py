@@ -309,6 +309,28 @@ def q_rollup_agg(spark, sf_dir):
     )
 
 
+EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def q_pivot_counts(spark, sf_dir):
+    """Pivot: per-user event counts, one column per event type."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+        .select("user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in EVENT_TYPES])
+    )
+
+
+def q_except_users(spark, sf_dir):
+    """Set op: users who clicked but never purchased (EXCEPT)."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return clicks.exceptAll(buys)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: CDC LWW state of the sf0.001 event stream, annotated with
     rule routing — the declarative core of the apply pipeline."""
@@ -341,6 +363,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_agg": q_salted_agg,
         "sessionize": q_sessionize,
         "rollup_agg": q_rollup_agg,
+        "pivot_counts": q_pivot_counts,
+        "except_users": q_except_users,
         "topk_per_group": q_topk_per_group,
         # rows-only checks (approximate / sketch ops with no exact SQL analogue)
         "minhash_neardup": q_minhash_neardup,
@@ -482,6 +506,18 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(l_linestatus, 'ALL') AS ls,
                    round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+        "pivot_counts": """
+            SELECT user_id,
+                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+                   sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+            FROM events GROUP BY user_id""",
+        "except_users": """
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+            EXCEPT
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'""",
         "topk_per_group": """
             SELECT l_orderkey, l_linenumber, rank, round(l_extendedprice, 2) AS price
             FROM (SELECT *, row_number() OVER (PARTITION BY l_orderkey
