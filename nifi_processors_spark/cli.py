@@ -35,6 +35,8 @@ def main(argv: list[str] | None = None) -> int:
     ap_cmd.add_argument("--buckets", type=int, default=32)
     ap_cmd.add_argument("--rename-hint", action="append", default=[],
                         help="new=old payload column rename hint (repeatable)")
+    ap_cmd.add_argument("--merge-mode", choices=["cow", "mor"], default="cow")
+    ap_cmd.add_argument("--compact-every", type=int, default=None)
 
     gen_cmd = sub.add_parser("generate", help="write a deterministic synthetic changelog")
     gen_cmd.add_argument("--out", required=True)
@@ -61,7 +63,9 @@ def main(argv: list[str] | None = None) -> int:
     hints = dict(h.split("=", 1) for h in getattr(args, "rename_hint", []))
     applier = ChangeApplier(spark, args.table, args.changelog, args.state,
                             n_buckets=getattr(args, "buckets", 32),
-                            rename_hints=hints or None)
+                            rename_hints=hints or None,
+                            merge_mode=getattr(args, "merge_mode", "cow"),
+                            compact_every=getattr(args, "compact_every", None))
     if args.cmd == "apply":
         for rec in applier.run():
             print(json.dumps(rec))

@@ -55,7 +55,14 @@ class ChangeApplier:
         n_buckets: int = 32,
         rename_hints: dict[str, str] | None = None,
         collect_metrics: bool = True,
+        merge_mode: str = "cow",
+        compact_every: int | None = None,
     ):
+        """``merge_mode``: 'cow' rewrites touched buckets per epoch (read
+        cost stays flat); 'mor' appends delta files (write cost scales with
+        the change-set, reads resolve LWW until ``compact_every`` epochs
+        trigger a compaction — the right trade when epochs are small
+        relative to the table, the common 100 TB shape)."""
         self.spark = spark
         self.table_path = table_path
         self.changelog_dir = changelog_dir
@@ -67,6 +74,11 @@ class ChangeApplier:
         self.quarantine_dir = os.path.join(state_dir, "quarantine")
         self.n_buckets = n_buckets
         self.collect_metrics = collect_metrics
+        if merge_mode not in ("cow", "mor"):
+            raise ValueError(f"merge_mode must be 'cow' or 'mor', got {merge_mode!r}")
+        self.merge_mode = merge_mode
+        self.compact_every = compact_every
+        self._epochs_since_compact = 0
 
     # ------------- discovery -------------
 
@@ -224,12 +236,19 @@ class ChangeApplier:
         }
         changes = events.filter(~F.col("_corrupt")).drop("_corrupt")
 
-        # 5. MERGE (copy-on-write, LWW vs stored state)
-        new_sid, mstats = table.merge(
+        # 5. MERGE — copy-on-write, or merge-on-read delta append
+        merge_fn = table.merge if self.merge_mode == "cow" else table.merge_mor
+        new_sid, mstats = merge_fn(
             changes,
-            lineage={"op": "merge", "epoch": epoch, "input_files": input_files},
+            lineage={"op": "merge", "mode": self.merge_mode, "epoch": epoch,
+                     "input_files": input_files},
             affected=affected,
         )
+        if self.merge_mode == "mor" and self.compact_every:
+            self._epochs_since_compact += 1
+            if self._epochs_since_compact >= self.compact_every:
+                new_sid = table.compact(lineage={"op": "compact", "epoch": epoch})
+                self._epochs_since_compact = 0
 
         if crash is not None:
             crash("after_merge", epoch)

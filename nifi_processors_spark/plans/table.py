@@ -158,11 +158,14 @@ class IceliteTable:
         )
         # group files by the schema version they were written under
         by_ver: dict[str, list[str]] = {}
+        has_delta = False
         for b, files in snap["buckets"].items():
             if buckets is not None and int(b) not in buckets:
                 continue
             for fe in files:
                 by_ver.setdefault(str(fe["schema_version"]), []).append(fe["path"])
+                if fe.get("kind", "base") == "delta":
+                    has_delta = True
         if not by_ver:
             return self.spark.createDataFrame([], out_schema)
         parts: list[DataFrame] = []
@@ -181,6 +184,10 @@ class IceliteTable:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        if has_delta:
+            # merge-on-read: unresolved delta rows present — resolve per-key
+            # LWW now (one bucket-shuffle + sort, same shape as the merge)
+            out = _resolve_lww(out, snap["key"], snap["n_buckets"])
         if not include_deleted:
             out = out.filter(~F.coalesce(F.col("_deleted"), F.lit(False))).drop("_deleted")
         return out
@@ -218,6 +225,91 @@ class IceliteTable:
         )
         self._commit(new_snap)
         return new_sid
+
+    # ---------------- MERGE-ON-READ (delta append + read-time resolve) ---------
+
+    def merge_mor(
+        self,
+        changes: DataFrame,
+        lineage: dict | None = None,
+        affected: list[int] | None = None,
+    ) -> tuple[int, dict]:
+        """Merge-on-read MERGE: append the change rows as *delta* files for
+        their buckets — NO read of existing data, NO shuffle of the table.
+        Write cost scales with the change-set, not the table (the CoW
+        ``merge`` is the opposite trade). ``read()`` resolves per-key LWW
+        across base+delta rows; ``compact()`` folds deltas back into base.
+
+        Replay-idempotent: a re-appended epoch duplicates rows with
+        identical (key, commit_seq, event_seq) values; resolution picks an
+        identical winner either way, and compaction drops the duplicates.
+        """
+        snap = self.snapshot()
+        key, nb = snap["key"], snap["n_buckets"]
+        data_cols = self.field_names(snap)
+        ch = changes.withColumn("_bucket", bucket_expr(key, nb))
+        if affected is None:
+            affected = sorted(r["_bucket"] for r in ch.select("_bucket").distinct().collect())
+        if not affected:
+            return snap["snapshot_id"], {"affected_buckets": 0}
+
+        delta = ch.select(
+            *[F.col(c) for c in data_cols],
+            F.col("commit_seq").alias("_commit_seq"),
+            F.col("event_seq").alias("_event_seq"),
+            (F.col("op") == "D").alias("_deleted"),
+            F.col("_bucket"),
+        )
+        new_sid = snap["snapshot_id"] + 1
+        out_dir = os.path.join(self.data_dir, f"snap{new_sid}")
+        delta.repartition(min(len(affected), 64), F.col("_bucket")).write.mode(
+            "overwrite"
+        ).partitionBy("_bucket").parquet(out_dir)
+
+        new_buckets = {b: list(files) for b, files in snap["buckets"].items()}
+        for entry in os.listdir(out_dir):
+            if not entry.startswith("_bucket="):
+                continue
+            b = entry.split("=", 1)[1]
+            bdir = os.path.join(out_dir, entry)
+            new_buckets.setdefault(b, [])
+            new_buckets[b] += [
+                {
+                    "path": os.path.join(bdir, fn),
+                    "schema_version": snap["schema_version"],
+                    "kind": "delta",
+                    "bytes": os.path.getsize(os.path.join(bdir, fn)),
+                }
+                for fn in os.listdir(bdir)
+                if fn.endswith(".parquet")
+            ]
+        new_snap = dict(snap)
+        new_snap.update(
+            {
+                "snapshot_id": new_sid,
+                "parent": snap["snapshot_id"],
+                "buckets": new_buckets,
+                "lineage": lineage or {"op": "merge_mor"},
+            }
+        )
+        self._commit(new_snap)
+        return new_sid, {"affected_buckets": len(affected), "snapshot_id": new_sid}
+
+    def delta_file_count(self) -> int:
+        snap = self.snapshot()
+        return sum(
+            1
+            for files in snap["buckets"].values()
+            for fe in files
+            if fe.get("kind", "base") == "delta"
+        )
+
+    def compact(self, lineage: dict | None = None) -> int:
+        """Fold all delta files into base (full resolve + rewrite). Keeps
+        tombstones (they still guard late events; expire via
+        ``expire_tombstones``)."""
+        resolved = self.read(include_deleted=True)
+        return self.overwrite(resolved, lineage=lineage or {"op": "compact"})
 
     # ---------------- MERGE (copy-on-write, bucketed, LWW vs state) ----------------
 
@@ -434,6 +526,30 @@ class IceliteTable:
         sid = snap["snapshot_id"]
         _atomic_write_json(os.path.join(self.meta_dir, f"v{sid}.json"), snap)
         _atomic_write_json(os.path.join(self.meta_dir, "VERSION"), sid)
+
+
+def _resolve_lww(df: DataFrame, key: list[str], n_buckets: int) -> DataFrame:
+    """Per-key LWW winner across unresolved rows: one bucket-distribution
+    shuffle + sort-within-partitions + lag head-of-group (same shape as the
+    CoW merge; ties only occur between byte-identical replayed rows)."""
+    cols = [c for c in df.columns]
+    b = bucket_expr(key, n_buckets)
+    w = Window.partitionBy("_rb").orderBy(
+        *[F.col(c) for c in key],
+        F.col("_commit_seq").desc(),
+        F.col("_event_seq").desc(),
+    )
+    with_b = df.withColumn("_rb", b).repartition(F.col("_rb"))
+    prev = [F.lag(F.col(c)).over(w) for c in key]
+    head = prev[0].isNull()
+    diff = F.lit(False)
+    for c, p in zip(key, prev):
+        diff = diff | (p != F.col(c))
+    return (
+        with_b.withColumn("_head", head | diff)
+        .filter(F.col("_head"))
+        .select(*cols)
+    )
 
 
 def _type_from_json(tj: str) -> T.DataType:
