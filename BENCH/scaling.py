@@ -48,7 +48,8 @@ if mode == "gen":
 wcfg = GenLogConfig(n_events=20000, n_epochs=2, content_blocks_max=8, n_keys=5000)
 write_change_log(spark, wcfg, f"{{work}}/warm_cl")
 ChangeApplier(spark, f"{{work}}/warm_table", f"{{work}}/warm_cl", f"{{work}}/warm_state",
-              n_buckets=max(cores * 2, 16)).run()
+              n_buckets=max(cores * 2, 16),
+              merge_mode=os.environ.get("SPARK_GRAFT_MERGE_MODE", "cow")).run()
 
 def cpu_sample():
     with open("/proc/stat") as f:
@@ -56,8 +57,10 @@ def cpu_sample():
     vals = [int(x) for x in parts[1:9]]  # user nice sys idle iowait irq softirq steal
     return vals
 
+mode = os.environ.get("SPARK_GRAFT_MERGE_MODE", "cow")
 ap = ChangeApplier(spark, f"{{work}}/table", changelog, f"{{work}}/state",
-                   n_buckets=max(cores * 2, 16))
+                   n_buckets=max(cores * 2, 16), merge_mode=mode,
+                   compact_every=None)
 c0 = cpu_sample(); t0 = time.monotonic()
 ap.run()
 sec = time.monotonic() - t0; c1 = cpu_sample()
@@ -126,6 +129,7 @@ def main() -> None:
     eff = speedup / 4
     rec = {
         "metric": "cdc_apply_scaling_efficiency",
+        "merge_mode": os.environ.get("SPARK_GRAFT_MERGE_MODE", "cow"),
         "events": args.events,
         "epochs": args.epochs,
         "low": lo,
