@@ -171,7 +171,8 @@ def q_token_counts(spark, sf_dir):
 
 def q_lang_id(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", text.language_id(F.col("text")).alias("lang_id"))
+    # staged tokenize-once path (one text pass; no regex alternation scans)
+    return text.with_language_id(docs, "text", "lang_id").select("doc_id", "lang_id")
 
 
 def q_quality_features(spark, sf_dir):
@@ -212,9 +213,7 @@ def q_minhash_neardup(spark, sf_dir):
 
 def q_simhash_sketch(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", fuzzy.simhash64(fuzzy.word_shingles(F.col("text"), 2)).alias("simhash")
-    )
+    return fuzzy.with_simhash(docs, "text", "simhash", shingle_n=2).select("doc_id", "simhash")
 
 
 def q_ivf_topk(spark, sf_dir):
@@ -224,6 +223,20 @@ def q_ivf_topk(spark, sf_dir):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     out = similarity.ivf_topk(vecs, queries, k=3, n_cells=8, nprobe=4)
+    return out.select("query_id", "vec_id", "rank")
+
+
+def q_ivf_topk_fullprobe(spark, sf_dir):
+    """IVF with nprobe == n_cells is EXACT (every cell probed) — same
+    result contract as brute force, so it gets a real SQL oracle; the
+    nprobe<n_cells variant above demonstrates the approximate scale path
+    (rows-only check)."""
+    em = _t(spark, sf_dir, "embeddings")
+    vecs = em.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
+    queries = vecs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = similarity.ivf_topk(vecs, queries, k=3, n_cells=8, nprobe=8)
     return out.select("query_id", "vec_id", "rank")
 
 
@@ -366,9 +379,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_counts": q_pivot_counts,
         "except_users": q_except_users,
         "topk_per_group": q_topk_per_group,
-        # rows-only checks (approximate / sketch ops with no exact SQL analogue)
         "minhash_neardup": q_minhash_neardup,
         "simhash_sketch": q_simhash_sketch,
+        "ivf_topk_fullprobe": q_ivf_topk_fullprobe,
+        # rows-only check: nprobe < n_cells is genuinely approximate (no
+        # exact SQL analogue); its recall is asserted vs brute force in
+        # tests/test_corpus_ops.py, and the fullprobe variant above
+        # oracle-checks the identical plan shape
         "ivf_topk": q_ivf_topk,
     }
 
@@ -380,16 +397,13 @@ WITH w AS (
 )
 """
 
-_STOP = {
-    "en": "the|and|of|to|in|is|that|it|was|for",
-    "de": "der|die|und|das|ist|nicht|mit|ein|von|zu",
-    "fr": "le|la|et|les|des|est|un|une|que|dans",
-    "es": "el|la|de|que|los|es|un|una|por|con",
-    "it": "il|la|di|che|e|un|una|per|del|non",
-    "pt": "o|a|de|que|os|um|uma|para|com|nao",
-}
+from nifi_processors_spark.operators.text import STOPWORDS as _STOPWORDS
+
+# tokenize-once stopword counting — mirrors text.with_language_id exactly
+_LID_WORDS = "string_split_regex(lower(text), '[^a-z]+')"
 _HITS = {
-    k: f"len(regexp_extract_all(lower(text), '\\b({v})\\b'))" for k, v in _STOP.items()
+    k: f"len(list_filter({_LID_WORDS}, w -> w IN ({', '.join(repr(w) for w in ws)})))"
+    for k, ws in _STOPWORDS.items()
 }
 _LANG_CASE = f"""
 CASE
@@ -404,6 +418,57 @@ END
 """
 
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+# ---- portable sketch-hash mirrors (fuzzy.portable_hash60 et al.) ----
+# Spark: conv(substring(sha2(s,256),1,15),16,10)::long  <->  DuckDB below
+_P31 = 2147483647  # fuzzy.MERSENNE31
+
+
+def _portable60(expr: str) -> str:
+    return f"('0x' || substring(sha256({expr}), 1, 15))::UBIGINT::BIGINT"
+
+
+def _shingle_cte(n: int) -> str:
+    """doc shingles CTE mirroring fuzzy.with_word_shingles: distinct word
+    n-grams of whitespace-normalized text; out-of-range words drop out of
+    concat_ws exactly like Spark's null-skipping concat_ws."""
+    gram = ", ".join(f"w[i+{j}]" for j in range(n))
+    return f"""
+      words AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+      d AS (SELECT doc_id,
+                   list_distinct(list_transform(range(1, greatest(len(w)-{n - 1}, 1)+1),
+                                 i -> concat_ws(' ', {gram}))) AS sh
+            FROM words)"""
+
+
+_SIMHASH_SQL = f"""
+WITH {_shingle_cte(2)},
+hv AS (SELECT doc_id, {_portable60('s')} AS hv
+       FROM (SELECT doc_id, unnest(sh) AS s FROM d)),
+bits AS (SELECT doc_id, b,
+                sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+         FROM hv CROSS JOIN (SELECT unnest(range(0, 60)) AS b) bs
+         GROUP BY doc_id, b)
+SELECT doc_id,
+       CAST(sum(CASE WHEN cnt > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id"""
+
+_MINHASH_SQL = f"""
+WITH {_shingle_cte(3)},
+sig AS (SELECT doc_id, sh,
+               list_transform(range(0, 32), k ->
+                 list_min(list_transform(sh, s ->
+                   ((2*k+1) * ({_portable60('s')} % {_P31}) + ((k*2654435761) % {_P31})) % {_P31}))) AS sig
+        FROM d),
+bands AS (SELECT doc_id, b, concat_ws('|', sig[2*b+1], sig[2*b+2]) AS h
+          FROM sig CROSS JOIN (SELECT unnest(range(0, 16)) AS b) bs),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+         FROM bands a JOIN bands c ON a.b = c.b AND a.h = c.h AND a.doc_id < c.doc_id),
+v AS (SELECT id_a, id_b,
+             len(list_intersect(x.sh, y.sh))::DOUBLE
+               / len(list_distinct(list_cat(x.sh, y.sh)))::DOUBLE AS jaccard
+      FROM cand JOIN d x ON x.doc_id = cand.id_a JOIN d y ON y.doc_id = cand.id_b)
+SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= 0.6"""
 
 _DETAIL_ROW = """
 SELECT event_id, 'g1' AS group_id,
@@ -495,9 +560,9 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY l_suppkey""",
         "sessionize": """
             SELECT event_id, user_id,
-                   sum(CASE WHEN gap_us IS NULL OR gap_us > 30*60*1000000 THEN 1 ELSE 0 END)
+                   CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 30*60*1000000 THEN 1 ELSE 0 END)
                      OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS UNBOUNDED PRECEDING) AS session_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
             FROM (SELECT event_id, user_id, ts,
                          epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
                   FROM events)""",
@@ -508,11 +573,11 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
         "pivot_counts": """
             SELECT user_id,
-                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-                   sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+                   CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
             FROM events GROUP BY user_id""",
         "except_users": """
             SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
@@ -535,4 +600,17 @@ def oracle_sql() -> dict[str, str]:
                           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
                    FROM scored)
             SELECT query_id, vec_id, rank, round(cos, 3) AS cosine FROM ranked WHERE rank <= 3""",
+        "ivf_topk_fullprobe": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings WHERE vec_id < 5),
+                 scored AS (
+                   SELECT q.query_id, e.vec_id,
+                          list_cosine_similarity(e.embedding::DOUBLE[], q.query_vec::DOUBLE[]) AS cos
+                   FROM embeddings e CROSS JOIN q),
+                 ranked AS (
+                   SELECT query_id, vec_id,
+                          row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+                   FROM scored)
+            SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 3""",
+        "simhash_sketch": _SIMHASH_SQL,
+        "minhash_neardup": _MINHASH_SQL,
     }

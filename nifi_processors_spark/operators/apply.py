@@ -8,19 +8,27 @@ interpreted loop (ExecuteRuleEngine.java:438-565), each *epoch* of the
 change log is applied as one declarative DataFrame plan —
 
     read epoch parquet (predicate/column pruning free via Catalyst)
-      -> detect payload schema drift -> registry + icelite ALTER
-      -> from_json envelope parse (corrupt rows quarantined, not fatal)
+      -> ONE stats job: per-bucket counts + full-epoch payload schema
+         (schema_of_variant_agg — drift detection sees EVERY row, so a
+         v2 payload appearing mid-epoch is never silently dropped)
+      -> icelite ALTER, then registry version persist (in that order:
+         a crash between them leaves the registry behind the table,
+         which the tolerant diff repairs on replay — never ahead)
+      -> from_json envelope parse (corrupt / null-key rows quarantined,
+         not fatal)
       -> window LWW dedup on (repo, path) by (commit_seq, event_seq)
       -> copy-on-write bucketed MERGE (only touched buckets rewritten)
       -> epoch commit marker (exactly-once) + lineage/metrics record
 
-Scale notes: within-epoch dedup is folded into the merge window, so an
-epoch costs ONE key shuffle (window over state ∪ events) plus one bucket
-repartition for the write; per-epoch metrics come from a single skinny
-(column-pruned, uncached) aggregation. Only affected buckets of the
-target are read/rewritten. Everything stays JVM-side (no Python row loop
-anywhere). Hot-repo skew cannot stall the window because the partition
-key is the full (repo, path); the merge spreads buckets evenly by hash.
+Scale notes: an epoch costs exactly TWO Spark jobs on the happy path —
+the skinny per-bucket stats/drift aggregation (column-pruned scan, and
+the drift agg rides in the same job) and the merge itself (window over
+state ∪ events, one key shuffle, bucket-clustered write); a third job
+runs only when corrupt rows need quarantining. Within-epoch dedup is
+folded into the merge window. Only affected buckets of the target are
+read/rewritten. Everything stays JVM-side (no Python row loop anywhere).
+Hot-repo skew cannot stall the window because the partition key is the
+full (repo, path); the merge spreads buckets evenly by hash.
 """
 
 from __future__ import annotations
@@ -35,7 +43,14 @@ from pyspark.sql import types as T
 
 from ..metrics import MetricsLog
 from ..plans.checkpoint import CheckpointLog
-from ..plans.registry import SchemaRegistry, detect_payload_schema, to_struct, _SPARK_TYPE
+from ..plans.registry import (
+    SchemaRegistry,
+    fields_from_variant_schema,
+    merge_field_sets,
+    payload_schema_agg,
+    to_struct,
+    _SPARK_TYPE,
+)
 from ..plans.table import IceliteTable, bucket_expr
 from .envelope import corrupt_flag, parse_envelope
 
@@ -136,6 +151,7 @@ class ChangeApplier:
                 resolve[old] = new
         return resolve
 
+
     # ------------- the apply -------------
 
     def apply_epoch(self, epoch: int, crash: Callable[[str, int], None] | None = None) -> dict:
@@ -154,33 +170,95 @@ class ChangeApplier:
         epoch: int,
         input_files: list[str] | None = None,
         crash: Callable[[str, int], None] | None = None,
+        marker: int | str | None = None,
     ) -> dict:
         """Apply one micro-batch of change events (envelope columns +
         payload_json). Used by both the batch epoch loop and the Structured
-        Streaming foreachBatch front-end (streaming/stream.py)."""
+        Streaming foreachBatch front-end (streaming/stream.py — which passes
+        a namespaced ``marker`` so streaming micro-batch ids can never
+        collide with batch changelog epochs)."""
         t0 = time.monotonic()
         input_files = input_files or []
 
-        # 1. schema drift -> registry -> ALTER
-        epoch_fields = detect_payload_schema(raw)
-        table = self._ensure_table(epoch_fields)
-        ver, renames, adds = self.registry.observe(epoch_fields, epoch)
-        if renames or adds:
-            table.alter(
-                renames,
-                [(n, _SPARK_TYPE[ty]) for n, ty in adds],
-                lineage={"op": "alter", "epoch": epoch, "renames": renames,
-                         "adds": [n for n, _ in adds]},
-            )
+        existing = self._table()
+        nb = existing.snapshot()["n_buckets"] if existing is not None else self.n_buckets
 
-        # 2. typed envelope parse + quarantine
+        # 1. ONE stats+drift job: per-bucket row/delete/bad counts AND the
+        #    full-epoch payload schema (variant agg) in a single skinny
+        #    aggregation — the scan prunes to key/op/payload_json columns.
+        #    Deliberately NOT cached: caching would force materializing
+        #    `content` (measured 2.5x slower at 8 cores than re-scanning in
+        #    the merge). "bad" = malformed JSON payload (schema-free
+        #    detection) or a null key/op column (a malformed envelope must
+        #    quarantine, not silently vanish in the merge window).
+        is_corrupt = corrupt_flag(F.col("payload_json"), T.StructType([]))
+        is_badkey = (
+            F.col("repo").isNull() | F.col("path").isNull() | F.col("op").isNull()
+        )
+        is_bad = is_corrupt | is_badkey
+        per_bucket = (
+            raw.withColumn("_b", bucket_expr(ENVELOPE_KEY, nb))
+            .groupBy("_b")
+            .agg(
+                F.count("*").alias("rows"),
+                F.sum(F.when((F.col("op") == "D") & ~is_bad, 1).otherwise(0)).alias("dels"),
+                F.sum(is_bad.cast("int")).alias("bad"),
+                payload_schema_agg(F.when(~is_bad, F.col("payload_json"))).alias("vschema"),
+            )
+            .collect()
+        )
+        epoch_fields = merge_field_sets(
+            [fields_from_variant_schema(r["vschema"]) for r in per_bucket]
+        )
+
+        # 2. drift: diff (pure) -> icelite ALTER -> registry persist, in that
+        #    order. A crash after the ALTER leaves the registry behind; on
+        #    replay the diff recomputes and the tolerant filter below skips
+        #    the already-applied parts. (The registry can never be AHEAD of
+        #    the table under this ordering — that was the old silent-null
+        #    crash window.)
+        table = self._ensure_table(epoch_fields)
+        # late-arriving rows can still carry ALREADY-RENAMED field names
+        # (e.g. v1 'lang' events landing epochs after lang->language):
+        # resolve through the cumulative rename chain before diffing, else
+        # the old name would be re-added as a fresh column
+        resolve_pre = self._rename_resolver()
+        diff_fields = (
+            merge_field_sets([[(resolve_pre.get(n, n), t) for n, t in epoch_fields]])
+            if resolve_pre
+            else epoch_fields
+        )
+        cur, renames, adds = self.registry.diff(diff_fields)
+        if cur is None:
+            ver = self.registry.register(epoch_fields, epoch)
+        else:
+            tcols = set(table.field_names())
+            eff_renames = {o: n for o, n in renames.items() if o in tcols and n not in tcols}
+            eff_adds = [(n, ty) for n, ty in adds if n not in tcols]
+            if eff_renames or eff_adds:
+                table.alter(
+                    eff_renames,
+                    [(n, _SPARK_TYPE[ty]) for n, ty in eff_adds],
+                    lineage={"op": "alter", "epoch": epoch, "renames": eff_renames,
+                             "adds": [n for n, _ in eff_adds]},
+                )
+                if crash is not None:
+                    crash("after_alter", epoch)
+            ver = self.registry.commit_version(renames, adds, epoch) if (renames or adds) else cur
+
+        # 3. typed envelope parse + rename-chain resolution. A mid-epoch
+        #    rename (hinted) means one epoch carries BOTH names: v1 rows
+        #    populate the old column, v2 rows the new one — coalesce them
+        #    into the current name so no row loses its value.
         parsed = parse_envelope(raw, to_struct(epoch_fields))
         resolve = self._rename_resolver()
         for old, new in resolve.items():
             if old in parsed.columns and new not in parsed.columns:
                 parsed = parsed.withColumnRenamed(old, new)
+            elif old in parsed.columns and new in parsed.columns:
+                parsed = parsed.withColumn(new, F.coalesce(F.col(new), F.col(old))).drop(old)
 
-        # 3. align to current table columns (null for cols this epoch lacks);
+        # 4. align to current table columns (null for cols this epoch lacks);
         #    within-epoch LWW dedup is subsumed by the merge window — one
         #    key-shuffle per epoch instead of two
         snap = table.snapshot()
@@ -197,38 +275,27 @@ class ChangeApplier:
                 from ..plans.table import _type_from_json
                 sel.append(F.lit(None).cast(_type_from_json(ftype)).alias(c))
         events = parsed.select(*sel, "op", "commit_seq", "event_seq", "_corrupt")
-
-        # 4. ONE aggregation job: per-bucket rows/deletes/corrupt -> affected
-        #    buckets, rows_in, and the per-partition lineage in one pass.
-        #    Deliberately NOT cached: the agg only touches key/op/_corrupt, so
-        #    column pruning makes it a skinny scan; caching here would force
-        #    materializing `content` (measured 2.5x slower at 8 cores than
-        #    just re-scanning in the merge).
-        per_bucket = (
-            events.withColumn("_b", bucket_expr(ENVELOPE_KEY, snap["n_buckets"]))
-            .groupBy("_b")
-            .agg(
-                F.count("*").alias("rows"),
-                F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("dels"),
-                F.sum(F.col("_corrupt").cast("int")).alias("corrupt"),
-            )
-            .collect()
+        events = events.withColumn(
+            "_corrupt",
+            F.col("_corrupt") | F.col("repo").isNull() | F.col("path").isNull()
+            | F.col("op").isNull(),
         )
-        n_corrupt = int(sum(r["corrupt"] for r in per_bucket))
+
+        n_corrupt = int(sum(r["bad"] for r in per_bucket))
         if n_corrupt > 0:
             # the reference's per-row 'failure' relationship
             # (ExecuteRuleEngine.java:477-481,610-662): corrupt rows land in a
             # quarantine table with their raw payload, the epoch proceeds
             quarantine = raw.filter(
-                corrupt_flag(F.col("payload_json"), to_struct(epoch_fields))
+                corrupt_flag(F.col("payload_json"), to_struct(epoch_fields)) | is_badkey
             )
             # per-epoch dir + overwrite => crash-replays stay idempotent
             quarantine.drop("epoch").write.mode("overwrite").parquet(
                 os.path.join(self.quarantine_dir, f"epoch={epoch}")
             )
-        affected = sorted(int(r["_b"]) for r in per_bucket if r["rows"] > r["corrupt"])
+        affected = sorted(int(r["_b"]) for r in per_bucket if r["rows"] > r["bad"])
         stats_extra = {
-            "rows_upserted": int(sum(r["rows"] - r["dels"] - r["corrupt"] for r in per_bucket)),
+            "rows_upserted": int(sum(r["rows"] - r["dels"] - r["bad"] for r in per_bucket)),
             "rows_deleted": int(sum(r["dels"] for r in per_bucket)),
             "partitions": [
                 {"bucket": int(r["_b"]), "rows": int(r["rows"])} for r in per_bucket
@@ -247,7 +314,11 @@ class ChangeApplier:
         if self.merge_mode == "mor" and self.compact_every:
             self._epochs_since_compact += 1
             if self._epochs_since_compact >= self.compact_every:
-                new_sid = table.compact(lineage={"op": "compact", "epoch": epoch})
+                # bucket-scoped: only buckets that accumulated deltas are
+                # rewritten; cold buckets keep their files byte-for-byte
+                new_sid = table.compact(
+                    lineage={"op": "compact", "epoch": epoch}, min_deltas=1
+                )
                 self._epochs_since_compact = 0
 
         if crash is not None:
@@ -267,7 +338,7 @@ class ChangeApplier:
         }
         if self.collect_metrics:
             self.metrics.append(rec)
-        self.checkpoints.commit(epoch, {"snapshot_id": new_sid})
+        self.checkpoints.commit(epoch if marker is None else marker, {"snapshot_id": new_sid})
         return rec
 
     def run(self, crash: Callable[[str, int], None] | None = None) -> list[dict]:

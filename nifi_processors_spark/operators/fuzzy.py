@@ -9,13 +9,22 @@ keys, compare within buckets, and verify candidates.
 
 Design per operator:
   * exact       — groupBy(sha256(normalized)) keep min id. One shuffle.
-  * minhash_lsh — word shingles -> H seeded xxhash64 minima (signature) ->
-                  B bands of R rows -> explode bands -> self-join on
-                  (band, band_hash) -> verify candidates with true Jaccard.
-  * simhash     — 64-bit sign-aggregated shingle hashes; near-dups have
-                  small Hamming distance; bucketing by 16-bit sub-keys
-                  (pigeonhole: <=3 differing bits -> one of 4 sub-keys equal).
+  * minhash_lsh — word shingles -> one sha256-derived base hash per shingle
+                  -> H universal-hash minima (signature) -> B bands of R
+                  rows -> explode bands -> group per band bucket, emit
+                  in-bucket pairs -> verify candidates with true Jaccard.
+  * simhash     — sign-aggregated shingle hashes (60 informative bits);
+                  near-dups have small Hamming distance; bucketing by
+                  16-bit sub-keys (pigeonhole: <=3 differing bits -> one
+                  of 4 sub-keys equal).
   * embedding   — cosine >= threshold via band-hashed random hyperplanes.
+
+Hash choice: the sketch hashes are sha256-derived (one crypto hash per
+shingle, then cheap affine derivations mod 2^31-1) instead of xxhash64 —
+bit-for-bit reproducible in any engine with sha256, which is what lets
+the DuckDB driver oracle recompute signatures exactly (xxhash64 has no
+DuckDB equivalent). H minhash functions cost ONE sha256 + H multiply-mods,
+comparable to H xxhash64 calls.
 """
 
 from __future__ import annotations
@@ -24,6 +33,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .text import normalize_text
+
+MERSENNE31 = 2147483647  # 2^31 - 1: universal-hash modulus (products fit a long)
+PORTABLE_BITS = 60  # informative bits of portable_hash60
+
+
+def portable_hash60(c: Column) -> Column:
+    """60-bit non-negative hash from the sha256 hex prefix. DuckDB mirror:
+    ``('0x' || substring(sha256(s), 1, 15))::UBIGINT::BIGINT``."""
+    return F.conv(F.substring(F.sha2(c, 256), 1, 15), 16, 10).cast("long")
 
 # ---------------- exact dedup ----------------
 
@@ -91,23 +109,45 @@ def with_word_shingles(df: DataFrame, text_col: str, out_col: str, n: int = 3) -
     return out
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
-    """H independent min-hashes: min over shingles of xxhash64(seed_i ++ s)."""
+def minhash_base_hashes(shingles: Column) -> Column:
+    """One portable base hash per shingle, reduced mod 2^31-1 so every
+    affine derivation below stays overflow-free in engines with checked
+    BIGINT arithmetic (DuckDB)."""
+    return F.transform(shingles, lambda s: portable_hash60(s) % MERSENNE31)
+
+
+def minhash_signature_from_hashes(hashes: Column, num_hashes: int = 64) -> Column:
+    """H universal-hash minima over staged base hashes:
+    h_i(x) = ((2i+1)*x + b_i) mod 2^31-1. `hashes` MUST be a bound column
+    (see with_word_shingles' staging note) — an inline expression would
+    re-evaluate its sha256 per hash function."""
     def mk(i: int):
-        return lambda s: F.xxhash64(F.lit(f"mh{i}"), s)
+        a = 2 * i + 1
+        b = (i * 2654435761) % MERSENNE31
+        return lambda h: (h * a + b) % MERSENNE31
 
     return F.array(
-        *[F.array_min(F.transform(shingles, mk(i))) for i in range(num_hashes)]
+        *[F.array_min(F.transform(hashes, mk(i))) for i in range(num_hashes)]
     )
 
 
+def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
+    """Compat wrapper — hot paths stage ``minhash_base_hashes`` as a column
+    first (minhash_lsh_pairs does)."""
+    return minhash_signature_from_hashes(minhash_base_hashes(shingles), num_hashes)
+
+
 def lsh_bands(sig: Column, bands: int, rows: int) -> Column:
-    """array<struct<band:int, h:long>> — one hash per band of `rows` sig values."""
+    """array<struct<band:int, h:string>> — one key per band of `rows` sig
+    values. The key is the exact '|'-joined value tuple (no re-hashing):
+    portable across engines and collision-free within a band."""
     return F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(*[F.element_at(sig, b * rows + r + 1) for r in range(rows)]).alias("h"),
+                F.concat_ws(
+                    "|", *[F.element_at(sig, b * rows + r + 1).cast("string") for r in range(rows)]
+                ).alias("h"),
             )
             for b in range(bands)
         ]
@@ -131,33 +171,50 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-dup pairs (id_a < id_b, jaccard >= threshold).
 
-    Candidate generation is the LSH band self-join (shuffle on band hash —
-    never all-pairs); verification recomputes true shingle Jaccard on
-    candidates only.
+    Candidate generation groups ids per band bucket and emits in-bucket
+    pairs with HOFs — ONE shuffle on the band key, never all-pairs, and
+    the band table is evaluated exactly once (the old self-join needed a
+    persist() on each side, which leaked executor storage across calls;
+    a groupBy needs no cache at all). Verification recomputes true shingle
+    Jaccard on candidates only; the shingle re-derivation per join side is
+    a column-pruned scan — deliberately NOT persisted, since caching wide
+    intermediates inverts scaling (BENCH/BASELINE.md measurement).
     """
     rows = num_hashes // bands
-    sh = (
-        with_word_shingles(df, text_col, "_sh", shingle_n)
-        .select(F.col(id_col).alias("_id"), "_sh")
-        .persist()
+    sh = with_word_shingles(df, text_col, "_sh", shingle_n).select(
+        F.col(id_col).alias("_id"), "_sh"
     )
     # lean band table: (band_key, id) only — the 16x band explosion never
-    # carries the shingle arrays through the shuffle. The signature is
-    # staged as a column (else lsh_bands would inline+recompute it per
-    # element_at), and the band table is persisted (the self-join would
-    # otherwise recompute it for each side).
+    # carries the shingle arrays through the shuffle. Base hashes and the
+    # signature are staged as columns (else each derived hash / element_at
+    # would inline+recompute the sha256 chain).
     band_tbl = (
-        sh.withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes))
+        sh.withColumn("_bh", minhash_base_hashes(F.col("_sh")))
+        .withColumn("_sig", minhash_signature_from_hashes(F.col("_bh"), num_hashes))
         .select("_id", F.explode(lsh_bands(F.col("_sig"), bands, rows)).alias("_b"))
         .select("_id", "_b")
-        .persist()
     )
-    left = band_tbl.select(F.col("_id").alias("id_a"), "_b")
-    right = band_tbl.select(F.col("_id").alias("id_b"), "_b")
+    grouped = (
+        band_tbl.groupBy("_b")
+        .agg(F.sort_array(F.collect_list("_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    # in-bucket pair expansion: for i<j emit (ids[i], ids[j]). Bucket sizes
+    # are small by LSH construction, so the quadratic stays local.
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.size("ids") - 2),
+            lambda i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size("ids")),
+                lambda j: F.struct(
+                    F.element_at(F.col("ids"), i + 1).alias("id_a"), j.alias("id_b")
+                ),
+            ),
+        )
+    )
     cand = (
-        left.join(right, ["_b"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        grouped.select(F.explode(pair_structs).alias("_p"))
+        .select("_p.id_a", "_p.id_b")
         .distinct()
     )
     # verification joins shingles back by id (hash joins on a long key)
@@ -174,18 +231,31 @@ def minhash_lsh_pairs(
 # ---------------- simhash ----------------
 
 
-def simhash64(shingles: Column, bits: int = 64) -> Column:
+def simhash64(shingles: Column, bits: int = PORTABLE_BITS) -> Column:
     """Classic SimHash: bit b is 1 iff sum over shingles of
-    (+1 if bit b of xxhash64(s) else -1) > 0. Expression-only — the bit
-    loop is unrolled driver-side (shift amounts must be literals).
+    (+1 if bit b of portable_hash60(s) else -1) > 0. Expression-only — the
+    bit loop is unrolled driver-side (shift amounts must be literals).
+    Default 60 bits = the informative bits of the portable hash.
 
     Perf caveat: inlines the shingle-hash transform into every bit counter;
-    hot paths should stage ``transform(shingles, xxhash64)`` as a column and
-    call ``simhash64_from_hashes`` (simhash_pairs does)."""
-    return simhash64_from_hashes(F.transform(shingles, lambda s: F.xxhash64(s)), bits)
+    hot paths should stage the hash array as a column and call
+    ``simhash64_from_hashes`` (simhash_pairs / with_simhash do)."""
+    return simhash64_from_hashes(F.transform(shingles, portable_hash60), bits)
 
 
-def simhash64_from_hashes(hashes: Column, bits: int = 64) -> Column:
+def with_simhash(df: DataFrame, text_col: str, out_col: str, shingle_n: int = 2) -> DataFrame:
+    """Staged simhash over word shingles: the shingle and hash arrays are
+    bound columns, so the sha256 chain runs once per shingle instead of
+    once per (shingle, bit)."""
+    return (
+        with_word_shingles(df, text_col, "_sh_tmp", shingle_n)
+        .withColumn("_h_tmp", F.transform(F.col("_sh_tmp"), portable_hash60))
+        .withColumn(out_col, simhash64_from_hashes(F.col("_h_tmp"), PORTABLE_BITS))
+        .drop("_sh_tmp", "_h_tmp")
+    )
+
+
+def simhash64_from_hashes(hashes: Column, bits: int = PORTABLE_BITS) -> Column:
 
     def mk(b: int):
         # NB: closure factory, not a `b=b` default arg — pyspark's HOF
@@ -220,7 +290,7 @@ def simhash_pairs(
     all-pairs."""
     base = (
         with_word_shingles(df, text_col, "_sh", shingle_n)
-        .withColumn("_hashes", F.transform(F.col("_sh"), lambda s: F.xxhash64(s)))
+        .withColumn("_hashes", F.transform(F.col("_sh"), portable_hash60))
         .select(F.col(id_col).alias("_id"), simhash64_from_hashes(F.col("_hashes")).alias("_sim"))
     )
     quarters = base.select(

@@ -51,10 +51,14 @@ def _stopword_hits(c: Column, words: list[str]) -> Column:
     return F.regexp_count(F.lower(c), F.lit(pat))
 
 
-def language_id(c: Column) -> Column:
-    """Argmax of per-language stopword hit counts; 'und' (undetermined)
-    when nothing matches. One projection, no UDF."""
-    scores = [(_lang, _stopword_hits(c, ws)) for _lang, ws in STOPWORDS.items()]
+def _word_hits(words_col: Column, stopwords: list[str]) -> Column:
+    """Stopword hit count (with multiplicity) over a tokenized words array
+    — an IN-list filter per element, no regex scan of the full text."""
+    sw = list(stopwords)
+    return F.size(F.filter(words_col, lambda w: w.isin(*sw)))
+
+
+def _argmax_lang(scores: list[tuple[str, Column]]) -> Column:
     best = F.lit("und")
     best_n = F.lit(0)
     # left-to-right argmax, ties keep the earlier language (stable)
@@ -63,6 +67,35 @@ def language_id(c: Column) -> Column:
         best = F.when(take, F.lit(lang)).otherwise(best)
         best_n = F.when(take, n).otherwise(best_n)
     return best
+
+
+def language_id(c: Column) -> Column:
+    """Argmax of per-language stopword hit counts over a single
+    lowercase-split tokenization; 'und' (undetermined) when nothing
+    matches. One projection, no UDF. (The previous implementation ran six
+    full-text regex alternation scans — 5x slower than its peers at sf0.1;
+    splitting once and filtering the array is one text pass total.)
+
+    Perf caveat: as a single expression the split subtree re-evaluates per
+    language — hot paths use ``with_language_id`` which stages the words
+    array as a column."""
+    words = F.split(F.lower(c), "[^a-z]+")
+    return _argmax_lang([(lang, _word_hits(words, ws)) for lang, ws in STOPWORDS.items()])
+
+
+def with_language_id(df, text_col: str, out_col: str = "lang_id"):
+    """Staged language ID: tokenize once into a bound column, then six
+    cheap array filters (whole-stage codegen, zero regex alternations)."""
+    return (
+        df.withColumn("_lid_words", F.split(F.lower(F.col(text_col)), "[^a-z]+"))
+        .withColumn(
+            out_col,
+            _argmax_lang(
+                [(lang, _word_hits(F.col("_lid_words"), ws)) for lang, ws in STOPWORDS.items()]
+            ),
+        )
+        .drop("_lid_words")
+    )
 
 
 def quality_features(c: Column) -> dict[str, Column]:

@@ -28,13 +28,16 @@ class CheckpointLog:
         self.path = path
         os.makedirs(path, exist_ok=True)
 
-    def _marker(self, epoch: int) -> str:
+    def _marker(self, epoch: int | str) -> str:
         return os.path.join(self.path, f"epoch_{epoch}.json")
 
-    def is_committed(self, epoch: int) -> bool:
+    def is_committed(self, epoch: int | str) -> bool:
         return os.path.exists(self._marker(epoch))
 
-    def commit(self, epoch: int, info: dict[str, Any]) -> None:
+    def commit(self, epoch: int | str, info: dict[str, Any]) -> None:
+        """``epoch`` may be an int (batch changelog epoch) or a namespaced
+        string key (e.g. 'stream_3') — string keys never collide with the
+        batch epoch namespace and are invisible to ``pending()``."""
         tmp = os.path.join(self.path, f".tmp.{uuid.uuid4().hex[:8]}")
         with open(tmp, "w") as f:
             json.dump({"epoch": epoch, **info}, f)
@@ -43,13 +46,17 @@ class CheckpointLog:
         os.replace(tmp, self._marker(epoch))
 
     def committed_epochs(self) -> list[int]:
+        """Batch (integer) epochs only — namespaced string markers are a
+        separate keyspace and do not affect batch pending-epoch discovery."""
         out = []
         for fn in os.listdir(self.path):
             if fn.startswith("epoch_") and fn.endswith(".json"):
-                out.append(int(fn[len("epoch_") : -len(".json")]))
+                key = fn[len("epoch_") : -len(".json")]
+                if key.lstrip("-").isdigit():
+                    out.append(int(key))
         return sorted(out)
 
-    def info(self, epoch: int) -> dict:
+    def info(self, epoch: int | str) -> dict:
         with open(self._marker(epoch)) as f:
             return json.load(f)
 

@@ -6,12 +6,17 @@ re-read per flow file (reference: ExecuteRuleEngine.java:417-435,197-202)
 mid-stream payload drift (FIXTURES.md §3: v1 {lang, content} ->
 v2 {language, content, size_bytes}) with an explicit registry:
 
-  * detect the payload schema of an epoch from a driver-side sample,
+  * detect the payload schema of an epoch DISTRIBUTEDLY over every row
+    (``schema_of_variant_agg`` — one skinny JVM-side aggregation; a v2
+    payload first appearing on row 51 of an epoch is still seen, unlike
+    a driver-side sample),
   * diff against the registered schema,
   * classify drift into RENAME (same type, one-for-one swap, or an
     explicit hint) vs ADD,
   * record a new registry version; the caller issues icelite ALTER
-    (rename keeps field id, add backfills null) then merges.
+    (rename keeps field id, add backfills null) BEFORE the version is
+    persisted, so a crash between the two leaves the registry behind
+    the table (repairable: the next diff is tolerant) — never ahead.
 
 Registry state is a JSON file (atomic replace), versions append-only:
 ``{"versions": [{"version", "from_epoch", "fields": [{name, type}],
@@ -25,6 +30,7 @@ import os
 import uuid
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _JSON_TYPE = {str: "string", bool: "boolean", int: "long", float: "double"}
@@ -35,33 +41,88 @@ _SPARK_TYPE = {
     "double": T.DoubleType(),
 }
 
+# variant-schema scalar type -> registry type (everything else, incl.
+# OBJECT</ARRAY</VARIANT mixed-type fields, degrades to raw-JSON string)
+_VARIANT_SCALAR = {
+    "BIGINT": "long",
+    "INT": "long",
+    "SMALLINT": "long",
+    "TINYINT": "long",
+    "DOUBLE": "double",
+    "FLOAT": "double",
+    "STRING": "string",
+    "BOOLEAN": "boolean",
+}
 
-def detect_payload_schema(epoch_df: DataFrame, sample: int = 50) -> list[tuple[str, str]]:
-    """Sample payload_json rows driver-side; union their fields.
 
-    Field order: first-seen order (JSON key order of the producer), which
-    keeps rename detection stable. Types from JSON scalars; nested values
-    fall back to string (kept as raw JSON).
-    """
-    rows = (
-        epoch_df.select("payload_json")
-        .filter("payload_json is not null")
-        .limit(sample)
-        .collect()
-    )
+def _split_top_level(s: str) -> list[str]:
+    """Split 'a: T, b: OBJECT<x: U, y: V>' on depth-0 commas."""
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return [p.strip() for p in out if p.strip()]
+
+
+def fields_from_variant_schema(schema_str: str | None) -> list[tuple[str, str]]:
+    """Parse ``schema_of_variant_agg`` output ('OBJECT<a: BIGINT, ...>')
+    into registry fields. Non-OBJECT top level (all-null epoch, scalar
+    payloads) -> no fields. Field order: as emitted (alphabetical), which
+    is deterministic across replays — unlike the order-dependent
+    driver-side sample this replaces."""
+    if not schema_str or not schema_str.startswith("OBJECT<"):
+        return []
+    body = schema_str[len("OBJECT<"):].rstrip(">")
+    fields: list[tuple[str, str]] = []
+    for part in _split_top_level(body):
+        name, _, ty = part.partition(":")
+        name = name.strip().strip("`")
+        ty = ty.strip()
+        base = ty.split("(", 1)[0].upper()
+        if base.startswith("DECIMAL"):
+            mapped = "double"
+        else:
+            mapped = _VARIANT_SCALAR.get(base, "string")
+        fields.append((name, mapped))
+    return fields
+
+
+def merge_field_sets(sets: list[list[tuple[str, str]]]) -> list[tuple[str, str]]:
+    """Union field lists (e.g. per-bucket detections) with widening:
+    long+double -> double; any other conflict -> string."""
     fields: dict[str, str] = {}
-    for r in rows:
-        try:
-            obj = json.loads(r["payload_json"])
-        except (json.JSONDecodeError, TypeError):
-            continue
-        if not isinstance(obj, dict):
-            continue
-        for k, v in obj.items():
-            t = _JSON_TYPE.get(type(v), "string")
-            if k not in fields or (fields[k] == "long" and t == "double"):
-                fields[k] = t
-    return list(fields.items())
+    for fs in sets:
+        for n, t in fs:
+            if n not in fields:
+                fields[n] = t
+            elif fields[n] != t:
+                fields[n] = "double" if {fields[n], t} == {"long", "double"} else "string"
+    return sorted(fields.items())
+
+
+def payload_schema_agg(payload_json: F.Column) -> F.Column:
+    """Aggregate expression: merged variant schema of all payload rows —
+    attach to any aggregation over the epoch (the apply loop folds it into
+    its per-bucket stats job; zero extra Spark jobs)."""
+    return F.schema_of_variant_agg(F.try_parse_json(payload_json))
+
+
+def detect_payload_schema(epoch_df: DataFrame, sample: int | None = None) -> list[tuple[str, str]]:
+    """Detect the payload schema over the WHOLE epoch with one distributed
+    aggregation (no driver-side row sample — a v2 payload appearing
+    mid-epoch is never missed, and replays are deterministic).
+    ``sample`` is accepted for API compat and ignored."""
+    row = epoch_df.select(payload_schema_agg(F.col("payload_json")).alias("s")).first()
+    return fields_from_variant_schema(row["s"] if row else None)
 
 
 def to_struct(fields: list[tuple[str, str]]) -> T.StructType:
@@ -79,6 +140,11 @@ def diff_schemas(
     matches *exactly one* added field is treated as a rename (the common
     ALTER RENAME case — e.g. v1 {lang} -> v2 {language, size_bytes}
     renames lang->language because language is the only added string).
+    A hinted rename also fires when the old name is STILL present (a
+    mid-epoch rename: one epoch carries both names because v1 rows
+    populate the old column and v2 rows the new one — the applier
+    coalesces the values). Automatic (unhinted) detection never does
+    this: with both names live, ADD is the only safe interpretation.
     Ambiguous cases (two same-typed candidates) fall back to ADD; removed
     fields without a partner are left in place (tolerant reader — older
     columns simply stop receiving values).
@@ -94,9 +160,10 @@ def diff_schemas(
     added = [n for n, _ in new if n not in old_names]  # keep producer order
 
     for new_name, old_name in rename_hints.items():
-        if old_name in removed and new_name in added:
+        if old_name in old_names and new_name in added:
             renames[old_name] = new_name
-            removed.remove(old_name)
+            if old_name in removed:
+                removed.remove(old_name)
             added.remove(new_name)
     for old_name in list(removed):
         candidates = [n for n in added if new_types[n] == old_types[old_name]]
@@ -143,19 +210,35 @@ class SchemaRegistry:
         self._save(obj)
         return ver
 
-    def observe(self, fields: list[tuple[str, str]], epoch: int) -> tuple[dict, dict[str, str], list[tuple[str, str]]]:
-        """Compare an epoch's payload schema with the registered one.
-
-        Returns (current_version, renames, adds); registers a new version
-        when drift is found. No drift -> ([], []).
-        """
+    def diff(self, fields: list[tuple[str, str]]) -> tuple[dict | None, dict[str, str], list[tuple[str, str]]]:
+        """PURE drift check: compare an epoch's payload schema with the
+        registered one. Returns (current_version_or_None, renames, adds)
+        — persists nothing. The caller applies the table ALTER first and
+        only then calls ``commit_version`` (crash between the two leaves
+        the registry *behind* the table, which the tolerant ALTER path in
+        the applier repairs on replay; the old persist-before-ALTER order
+        could silently null renamed columns forever)."""
         cur = self.current()
         if cur is None:
-            return self.register(fields, epoch), {}, []
+            return None, {}, [(n, t) for n, t in fields]
         old = [(f["name"], f["type"]) for f in cur["fields"]]
         renames, adds = diff_schemas(old, fields, self.rename_hints)
+        return cur, renames, adds
+
+    def commit_version(
+        self,
+        renames: dict[str, str],
+        adds: list[tuple[str, str]],
+        epoch: int,
+    ) -> dict:
+        """Persist a new version from a previously-computed diff (call
+        AFTER the table ALTER commits). No-op returns the current version
+        when there is no drift."""
+        cur = self.current()
+        if cur is None:
+            return self.register(adds, epoch)
         if not renames and not adds:
-            return cur, {}, []
+            return cur
         merged: list[dict] = []
         for f in cur["fields"]:
             nm = renames.get(f["name"], f["name"])
@@ -171,4 +254,14 @@ class SchemaRegistry:
         }
         obj["versions"].append(ver)
         self._save(obj)
-        return ver, renames, adds
+        return ver
+
+    def observe(self, fields: list[tuple[str, str]], epoch: int) -> tuple[dict, dict[str, str], list[tuple[str, str]]]:
+        """Back-compat: diff + commit in one call (tests / ad-hoc use).
+        The apply loop uses diff -> table.alter -> commit_version."""
+        cur, renames, adds = self.diff(fields)
+        if cur is None:
+            return self.register(fields, epoch), {}, []
+        if not renames and not adds:
+            return cur, {}, []
+        return self.commit_version(renames, adds, epoch), renames, adds

@@ -58,6 +58,21 @@ def bucket_expr(key: list[str], n_buckets: int) -> Column:
     return F.pmod(F.xxhash64(*[F.col(c) for c in key]), F.lit(n_buckets)).cast("int")
 
 
+def _group_head(key: list[str], w) -> Column:
+    """Head-of-key-group predicate under a (key, seq desc) sort: no previous
+    row, or ANY key part differs from it. eqNullSafe keeps the predicate
+    two-valued — with a null key column a plain != yields null, and
+    filter() would silently drop the row (data loss) instead of keeping the
+    group head. Null-key events are quarantined upstream, but the merge
+    must stay loss-free even if one slips through."""
+    prev = [F.lag(F.col(c)).over(w) for c in key]
+    head = F.lag(F.lit(1)).over(w).isNull()  # true iff no previous row
+    diff = F.lit(False)
+    for c, p in zip(key, prev):
+        diff = diff | ~p.eqNullSafe(F.col(c))
+    return head | diff
+
+
 class IceliteTable:
     """A single icelite table rooted at ``path``.
 
@@ -110,6 +125,14 @@ class IceliteTable:
     @classmethod
     def exists(cls, path: str) -> bool:
         return os.path.exists(os.path.join(path, "meta", "VERSION"))
+
+    def _merge_partitions(self, n_affected: int) -> int:
+        """Write-shuffle width for a merge touching ``n_affected`` buckets:
+        one task per bucket, capped by the session's shuffle parallelism —
+        NOT a literal (a hardcoded 64 capped merge parallelism at 64 tasks
+        on clusters with thousands of affected buckets)."""
+        shuffle = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        return max(1, min(n_affected, shuffle))
 
     def current_snapshot_id(self) -> int:
         with open(os.path.join(self.meta_dir, "VERSION")) as f:
@@ -262,7 +285,7 @@ class IceliteTable:
         )
         new_sid = snap["snapshot_id"] + 1
         out_dir = os.path.join(self.data_dir, f"snap{new_sid}")
-        delta.repartition(min(len(affected), 64), F.col("_bucket")).write.mode(
+        delta.repartition(self._merge_partitions(len(affected)), F.col("_bucket")).write.mode(
             "overwrite"
         ).partitionBy("_bucket").parquet(out_dir)
 
@@ -304,12 +327,79 @@ class IceliteTable:
             if fe.get("kind", "base") == "delta"
         )
 
-    def compact(self, lineage: dict | None = None) -> int:
-        """Fold all delta files into base (full resolve + rewrite). Keeps
-        tombstones (they still guard late events; expire via
-        ``expire_tombstones``)."""
-        resolved = self.read(include_deleted=True)
-        return self.overwrite(resolved, lineage=lineage or {"op": "compact"})
+    def delta_buckets(self, min_deltas: int = 1) -> list[int]:
+        """Bucket ids whose delta-file count is >= ``min_deltas``."""
+        snap = self.snapshot()
+        out = []
+        for b, files in snap["buckets"].items():
+            n = sum(1 for fe in files if fe.get("kind", "base") == "delta")
+            if n >= min_deltas:
+                out.append(int(b))
+        return sorted(out)
+
+    def compact(
+        self,
+        lineage: dict | None = None,
+        buckets: list[int] | None = None,
+        min_deltas: int | None = None,
+    ) -> int:
+        """Fold delta files into base (resolve + rewrite). Keeps tombstones
+        (they still guard late events; expire via ``expire_tombstones``).
+
+        Scope control — at 100 TB a full-table rewrite per compaction is a
+        non-starter; compact only where deltas actually accumulated:
+          * ``buckets``: explicit bucket ids to compact;
+          * ``min_deltas``: compact buckets with at least that many delta
+            files (the maintenance-loop default);
+          * neither: full compaction (bootstrap / small tables).
+        Untouched buckets keep their existing data files byte-for-byte.
+        """
+        if buckets is None and min_deltas is not None:
+            buckets = self.delta_buckets(min_deltas)
+        if buckets is None:
+            resolved = self.read(include_deleted=True)
+            return self.overwrite(resolved, lineage=lineage or {"op": "compact"})
+        snap = self.snapshot()
+        if not buckets:
+            return snap["snapshot_id"]
+        resolved = self.read(buckets=buckets, include_deleted=True)
+        new_sid = snap["snapshot_id"] + 1
+        out_dir = os.path.join(self.data_dir, f"snap{new_sid}")
+        (
+            resolved.withColumn("_bucket", bucket_expr(snap["key"], snap["n_buckets"]))
+            .repartition(self._merge_partitions(len(buckets)), F.col("_bucket"))
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(out_dir)
+        )
+        new_buckets = {b: list(files) for b, files in snap["buckets"].items()}
+        for b in buckets:  # a compacted bucket that came out empty stays empty
+            new_buckets[str(b)] = []
+        for entry in os.listdir(out_dir):
+            if not entry.startswith("_bucket="):
+                continue
+            b = entry.split("=", 1)[1]
+            bdir = os.path.join(out_dir, entry)
+            new_buckets[b] = [
+                {
+                    "path": os.path.join(bdir, fn),
+                    "schema_version": snap["schema_version"],
+                    "bytes": os.path.getsize(os.path.join(bdir, fn)),
+                }
+                for fn in os.listdir(bdir)
+                if fn.endswith(".parquet")
+            ]
+        new_snap = dict(snap)
+        new_snap.update(
+            {
+                "snapshot_id": new_sid,
+                "parent": snap["snapshot_id"],
+                "buckets": new_buckets,
+                "lineage": lineage or {"op": "compact", "buckets": buckets},
+            }
+        )
+        self._commit(new_snap)
+        return new_sid
 
     # ---------------- MERGE (copy-on-write, bucketed, LWW vs state) ----------------
 
@@ -373,18 +463,11 @@ class IceliteTable:
             F.col("_event_seq").desc(),
             F.col("_is_change").desc(),
         )
-        prev = [F.lag(F.col(c)).over(w) for c in key]
-        # keys are non-null; a row is its key-group head iff there is no
-        # previous row (lag null) or ANY key part differs from the previous row
-        head = prev[0].isNull()
-        diff = F.lit(False)
-        for c, p in zip(key, prev):
-            diff = diff | (p != F.col(c))
         # the per-key winner is kept even when it is a delete: tombstones
         # carry the delete's sequence so older late events cannot win later
         survivors = (
-            unioned.repartition(min(len(affected), 64), F.col("_bucket"))
-            .withColumn("_first", head | diff)
+            unioned.repartition(self._merge_partitions(len(affected)), F.col("_bucket"))
+            .withColumn("_first", _group_head(key, w))
             .filter(F.col("_first"))
             .select(*data_cols, *SYS_COLS, "_bucket")
         )
@@ -540,13 +623,8 @@ def _resolve_lww(df: DataFrame, key: list[str], n_buckets: int) -> DataFrame:
         F.col("_event_seq").desc(),
     )
     with_b = df.withColumn("_rb", b).repartition(F.col("_rb"))
-    prev = [F.lag(F.col(c)).over(w) for c in key]
-    head = prev[0].isNull()
-    diff = F.lit(False)
-    for c, p in zip(key, prev):
-        diff = diff | (p != F.col(c))
     return (
-        with_b.withColumn("_head", head | diff)
+        with_b.withColumn("_head", _group_head(key, w))
         .filter(F.col("_head"))
         .select(*cols)
     )

@@ -50,6 +50,10 @@ class GenLogConfig:
     seed: int = 42
     n_keys: int | None = None  # default n_events // 4
     evolve_at_epoch: int | None = None  # payload v2 from this epoch on (None = never)
+    # payload v2 from this EVENT id on — lands mid-epoch, so one epoch
+    # carries both payload versions (drift detection must see every row,
+    # not a prefix sample; exercised by test_mid_epoch_drift)
+    evolve_at_event: int | None = None
     content_blocks_max: int = 60  # content length 3..(3+max) 64-char sha blocks
 
     @property
@@ -133,7 +137,9 @@ def generate_change_log(spark: SparkSession, cfg: GenLogConfig) -> DataFrame:
             F.length(content).cast("long").alias("size_bytes"),
         )
     )
-    if cfg.evolve_at_epoch is None:
+    if cfg.evolve_at_event is not None:
+        payload = F.when(eid >= cfg.evolve_at_event, v2).otherwise(v1)
+    elif cfg.evolve_at_epoch is None:
         payload = v1
     else:
         payload = F.when(epoch >= cfg.evolve_at_epoch, v2).otherwise(v1)

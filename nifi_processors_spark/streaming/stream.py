@@ -43,7 +43,12 @@ def stream_apply(
 
     The streaming epoch_id becomes the engine epoch; re-delivered batches
     (foreachBatch is at-least-once) are no-ops thanks to the engine's
-    commit markers. Returns the StreamingQuery (caller stops it).
+    commit markers. Markers are namespaced 'stream_<id>' so a streaming
+    run whose micro-batch ids restart at 0 (fresh checkpointLocation) can
+    never collide with batch changelog epochs committed in the same
+    state_dir — without the namespace, a batch bootstrap of epochs 0..N
+    would make the stream silently skip its first N+1 micro-batches.
+    Returns the StreamingQuery (caller stops it).
     """
     stream = (
         spark.readStream.schema(CHANGE_EVENT_SCHEMA)
@@ -52,9 +57,12 @@ def stream_apply(
     )
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        if applier.checkpoints.is_committed(epoch_id):
+        key = f"stream_{epoch_id}"
+        if applier.checkpoints.is_committed(key):
             return  # replayed micro-batch: exactly-once skip
-        applier.apply_batch_df(batch_df.withColumn("epoch", F.lit(epoch_id)), epoch_id)
+        applier.apply_batch_df(
+            batch_df.withColumn("epoch", F.lit(epoch_id)), epoch_id, marker=key
+        )
 
     return (
         stream.writeStream.foreachBatch(apply_batch)

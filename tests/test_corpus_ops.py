@@ -119,6 +119,17 @@ def test_simhash_pairs(neardup_docs):
     assert (0, 3) not in got
 
 
+def test_minhash_no_persist_leak(neardup_docs, spark):
+    """Repeated LSH calls must not accumulate cached partitions (round-1
+    leaked two persists per call; the groupBy-based candidate generation
+    needs no cache at all)."""
+    for _ in range(2):
+        fuzzy.minhash_lsh_pairs(
+            neardup_docs, "text", "doc_id", threshold=0.5, num_hashes=32, bands=16, shingle_n=2
+        ).collect()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+
+
 def test_ngram_jaccard_oracle_agreement(neardup_docs):
     """LSH candidates at high threshold must be a subset of the exact
     all-pairs result, and must find everything at jaccard>=0.9."""

@@ -26,20 +26,24 @@ def ddb():
 
 
 def _norm_cell(v):
+    """Type-tagged normalization mimicking the driver's pandas value hash:
+    an int 1 and a float 1.0 must NOT compare equal (DuckDB HUGEINT sums
+    become pandas float64 — that burned us in round 1)."""
     if v is None:
-        return None
-    if isinstance(v, float):
+        return "∅"
+    if isinstance(v, float):  # covers np.float32/64 too
         if math.isnan(v):
-            return "NaN"
-        return round(v, 9)
-    return v
+            return "∅"
+        return f"f:{round(v, 9)}"
+    if isinstance(v, (int,)) or type(v).__name__.startswith(("int", "uint")):
+        return f"i:{int(v)}"
+    return f"{type(v).__name__}:{v}"
 
 
-def _norm_rows(cols, rows):
-    idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(
-        (tuple(_norm_cell(r[i]) for i in idx) for r in rows), key=repr
-    )
+def _norm_pdf(pdf):
+    cols = sorted(pdf.columns)
+    rows = [tuple(_norm_cell(r[c]) for c in cols) for _, r in pdf.iterrows()]
+    return sorted(rows)
 
 
 ORACLES = entry_mod.oracle_sql()
@@ -50,16 +54,16 @@ QUERIES = entry_mod.queries()
 def test_query_matches_oracle(spark, ddb, name):
     sdf = QUERIES[name](spark, SF_DIR)
     s_cols = sdf.columns
-    s_rows = [tuple(r) for r in sdf.collect()]
+    s_pdf = sdf.toPandas()
 
     res = ddb.execute(ORACLES[name])
     d_cols = [d[0] for d in res.description]
-    d_rows = res.fetchall()
+    d_pdf = res.fetchdf()
 
     assert sorted(s_cols) == sorted(d_cols), f"{name}: column names differ"
-    assert len(s_rows) == len(d_rows), f"{name}: row count {len(s_rows)} vs {len(d_rows)}"
-    sn = _norm_rows(s_cols, s_rows)
-    dn = _norm_rows(d_cols, d_rows)
+    assert len(s_pdf) == len(d_pdf), f"{name}: row count {len(s_pdf)} vs {len(d_pdf)}"
+    sn = _norm_pdf(s_pdf)
+    dn = _norm_pdf(d_pdf)
     mismatches = [(a, b) for a, b in zip(sn, dn) if a != b]
     assert not mismatches, f"{name}: first value mismatch {mismatches[0]}"
 
