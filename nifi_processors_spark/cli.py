@@ -5,8 +5,16 @@ On a real cluster (the north rule's deployment shape)::
     zip -r nifi_processors_spark.zip nifi_processors_spark
     spark-submit --py-files nifi_processors_spark.zip \\
         -m nifi_processors_spark.cli \\
-        apply --table s3://bucket/repo_files --changelog s3://bucket/changelog \\
-              --state s3://bucket/_state --buckets 4096
+        apply --table hdfs:///lake/repo_files --changelog s3a://bucket/changelog \\
+              --state hdfs:///lake/_state --buckets 4096
+
+URI paths (hdfs://, s3a://, file:) are supported end-to-end: data files
+go through Spark's readers/writers, and the engine's metadata layer
+(snapshots, markers, registry, metrics) goes through Hadoop's FileSystem
+via plans/fsio.py (exercised in tests/test_fsio.py with file: URIs).
+Caveat: the snapshot-pointer rename is atomic on local/HDFS but
+copy+delete on raw S3 — keep the metadata dirs on HDFS/a consistent
+store, or front them with a catalog (fsio.py module note).
 
 Locally (this sandbox) the same module runs under ``python -m``. The
 SparkSession comes from spark-submit's conf when present; local settings

@@ -11,10 +11,9 @@ and readable back as a DataFrame for rollup queries.
 
 from __future__ import annotations
 
-import json
-import os
-import uuid
 from typing import Any
+
+from .plans import fsio
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -49,20 +48,16 @@ METRICS_SCHEMA = T.StructType(
 class MetricsLog:
     def __init__(self, path: str):
         self.path = path
-        os.makedirs(path, exist_ok=True)
+        fsio.makedirs(path)
 
     def append(self, rec: dict[str, Any]) -> None:
-        tmp = os.path.join(self.path, f".tmp.{uuid.uuid4().hex[:8]}")
-        with open(tmp, "w") as f:
-            json.dump(rec, f)
-        os.replace(tmp, os.path.join(self.path, f"epoch_{rec['epoch']}.json"))
+        fsio.write_json_atomic(fsio.join(self.path, f"epoch_{rec['epoch']}.json"), rec)
 
     def records(self) -> list[dict]:
         out = []
-        for fn in sorted(os.listdir(self.path)):
+        for fn in sorted(fsio.listdir(self.path)):
             if fn.startswith("epoch_") and fn.endswith(".json"):
-                with open(os.path.join(self.path, fn)) as f:
-                    out.append(json.load(f))
+                out.append(fsio.read_json(fsio.join(self.path, fn)))
         return out
 
     def as_df(self, spark: SparkSession) -> DataFrame:

@@ -33,7 +33,6 @@ full (repo, path); the merge spreads buckets evenly by hash.
 
 from __future__ import annotations
 
-import os
 import time
 from typing import Callable
 
@@ -42,6 +41,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..metrics import MetricsLog
+from ..plans import fsio
 from ..plans.checkpoint import CheckpointLog
 from ..plans.registry import (
     SchemaRegistry,
@@ -81,12 +81,12 @@ class ChangeApplier:
         self.spark = spark
         self.table_path = table_path
         self.changelog_dir = changelog_dir
-        self.checkpoints = CheckpointLog(os.path.join(state_dir, "checkpoints"))
-        self.metrics = MetricsLog(os.path.join(state_dir, "metrics"))
+        self.checkpoints = CheckpointLog(fsio.join(state_dir, "checkpoints"))
+        self.metrics = MetricsLog(fsio.join(state_dir, "metrics"))
         self.registry = SchemaRegistry(
-            os.path.join(state_dir, "schema_registry.json"), rename_hints
+            fsio.join(state_dir, "schema_registry.json"), rename_hints
         )
-        self.quarantine_dir = os.path.join(state_dir, "quarantine")
+        self.quarantine_dir = fsio.join(state_dir, "quarantine")
         self.n_buckets = n_buckets
         self.collect_metrics = collect_metrics
         if merge_mode not in ("cow", "mor"):
@@ -99,7 +99,7 @@ class ChangeApplier:
 
     def discover_epochs(self) -> list[int]:
         out = []
-        for entry in os.listdir(self.changelog_dir):
+        for entry in fsio.listdir(self.changelog_dir):
             if entry.startswith("epoch="):
                 out.append(int(entry.split("=", 1)[1]))
         return sorted(out)
@@ -108,7 +108,7 @@ class ChangeApplier:
         return self.checkpoints.pending(self.discover_epochs())
 
     def _epoch_dir(self, epoch: int) -> str:
-        return os.path.join(self.changelog_dir, f"epoch={epoch}")
+        return fsio.join(self.changelog_dir, f"epoch={epoch}")
 
     def read_epoch(self, epoch: int) -> DataFrame:
         return self.spark.read.parquet(self._epoch_dir(epoch)).withColumn(
@@ -158,8 +158,8 @@ class ChangeApplier:
         """Apply one changelog epoch. ``crash(point, epoch)`` is a test hook
         invoked at 'after_merge' (before the marker) for crash-resume tests."""
         input_files = sorted(
-            os.path.join(self._epoch_dir(epoch), f)
-            for f in os.listdir(self._epoch_dir(epoch))
+            fsio.join(self._epoch_dir(epoch), f)
+            for f in fsio.listdir(self._epoch_dir(epoch))
             if f.endswith(".parquet")
         )
         return self.apply_batch_df(self.read_epoch(epoch), epoch, input_files, crash)
@@ -291,7 +291,7 @@ class ChangeApplier:
             )
             # per-epoch dir + overwrite => crash-replays stay idempotent
             quarantine.drop("epoch").write.mode("overwrite").parquet(
-                os.path.join(self.quarantine_dir, f"epoch={epoch}")
+                fsio.join(self.quarantine_dir, f"epoch={epoch}")
             )
         affected = sorted(int(r["_b"]) for r in per_bucket if r["rows"] > r["bad"])
         stats_extra = {

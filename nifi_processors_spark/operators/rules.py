@@ -48,6 +48,7 @@ _OPS = {
     "between": lambda c, v: c.between(F.lit(v[0]), F.lit(v[1])),
     "in": lambda c, v: c.isin(*v),
     "contains": lambda c, v: c.contains(v),
+    "not_contains": lambda c, v: ~c.contains(v),
     "starts_with": lambda c, v: c.startswith(v),
     "ends_with": lambda c, v: c.endswith(v),
     "matches": lambda c, v: c.rlike(v),

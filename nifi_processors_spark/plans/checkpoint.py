@@ -17,39 +17,33 @@ So replay from ANY point reconverges to the identical table state
 
 from __future__ import annotations
 
-import json
-import os
-import uuid
 from typing import Any
+
+from . import fsio
 
 
 class CheckpointLog:
     def __init__(self, path: str):
         self.path = path
-        os.makedirs(path, exist_ok=True)
+        fsio.makedirs(path)
 
     def _marker(self, epoch: int | str) -> str:
-        return os.path.join(self.path, f"epoch_{epoch}.json")
+        return fsio.join(self.path, f"epoch_{epoch}.json")
 
     def is_committed(self, epoch: int | str) -> bool:
-        return os.path.exists(self._marker(epoch))
+        return fsio.exists(self._marker(epoch))
 
     def commit(self, epoch: int | str, info: dict[str, Any]) -> None:
         """``epoch`` may be an int (batch changelog epoch) or a namespaced
         string key (e.g. 'stream_3') — string keys never collide with the
         batch epoch namespace and are invisible to ``pending()``."""
-        tmp = os.path.join(self.path, f".tmp.{uuid.uuid4().hex[:8]}")
-        with open(tmp, "w") as f:
-            json.dump({"epoch": epoch, **info}, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, self._marker(epoch))
+        fsio.write_json_atomic(self._marker(epoch), {"epoch": epoch, **info})
 
     def committed_epochs(self) -> list[int]:
         """Batch (integer) epochs only — namespaced string markers are a
         separate keyspace and do not affect batch pending-epoch discovery."""
         out = []
-        for fn in os.listdir(self.path):
+        for fn in fsio.listdir(self.path):
             if fn.startswith("epoch_") and fn.endswith(".json"):
                 key = fn[len("epoch_") : -len(".json")]
                 if key.lstrip("-").isdigit():
@@ -57,8 +51,7 @@ class CheckpointLog:
         return sorted(out)
 
     def info(self, epoch: int | str) -> dict:
-        with open(self._marker(epoch)) as f:
-            return json.load(f)
+        return fsio.read_json(self._marker(epoch))
 
     def pending(self, all_epochs: list[int]) -> list[int]:
         done = set(self.committed_epochs())

@@ -25,13 +25,11 @@ Registry state is a JSON file (atomic replace), versions append-only:
 
 from __future__ import annotations
 
-import json
-import os
-import uuid
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from . import fsio
 
 _JSON_TYPE = {str: "string", bool: "boolean", int: "long", float: "double"}
 _SPARK_TYPE = {
@@ -181,17 +179,14 @@ class SchemaRegistry:
         self.rename_hints = rename_hints or {}
 
     def _load(self) -> dict:
-        if not os.path.exists(self.path):
+        if not fsio.exists(self.path):
             return {"versions": []}
-        with open(self.path) as f:
-            return json.load(f)
+        return fsio.read_json(self.path)
 
     def _save(self, obj: dict) -> None:
-        tmp = f"{self.path}.tmp.{uuid.uuid4().hex[:8]}"
-        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
-        with open(tmp, "w") as f:
-            json.dump(obj, f)
-        os.replace(tmp, self.path)
+        parent = self.path.rsplit("/", 1)[0] if "/" in self.path else "."
+        fsio.makedirs(parent)
+        fsio.write_json_atomic(self.path, obj)
 
     def current(self) -> dict | None:
         vs = self._load()["versions"]

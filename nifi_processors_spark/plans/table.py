@@ -34,24 +34,22 @@ from __future__ import annotations
 
 import json
 import os
-import uuid
 from typing import Any
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from . import fsio
+
 SYS_COLS = ["_commit_seq", "_event_seq", "_deleted"]
 _SYS_TYPES = {"_commit_seq": T.LongType(), "_event_seq": T.LongType(), "_deleted": T.BooleanType()}
 
 
 def _atomic_write_json(path: str, obj: Any) -> None:
-    tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as f:
-        json.dump(obj, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, path)
+    # local: tmp + os.replace; URI paths (hdfs://, s3a://): Hadoop FS —
+    # see plans/fsio.py for the atomicity contract per scheme
+    fsio.write_json_atomic(path, obj)
 
 
 def bucket_expr(key: list[str], n_buckets: int) -> Column:
@@ -86,8 +84,8 @@ class IceliteTable:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
-        self.meta_dir = os.path.join(path, "meta")
-        self.data_dir = os.path.join(path, "data")
+        self.meta_dir = fsio.join(path, "meta")
+        self.data_dir = fsio.join(path, "data")
 
     # ---------------- creation / loading ----------------
 
@@ -101,8 +99,8 @@ class IceliteTable:
         n_buckets: int = 32,
     ) -> "IceliteTable":
         t = cls(spark, path)
-        os.makedirs(t.meta_dir, exist_ok=True)
-        os.makedirs(t.data_dir, exist_ok=True)
+        fsio.makedirs(t.meta_dir)
+        fsio.makedirs(t.data_dir)
         fields = [
             {"id": i + 1, "name": f.name, "type": f.dataType.json()}
             for i, f in enumerate(schema.fields)
@@ -118,13 +116,13 @@ class IceliteTable:
             "buckets": {},
             "lineage": {"op": "create"},
         }
-        _atomic_write_json(os.path.join(t.meta_dir, "v0.json"), snap)
-        _atomic_write_json(os.path.join(t.meta_dir, "VERSION"), 0)
+        _atomic_write_json(fsio.join(t.meta_dir, "v0.json"), snap)
+        _atomic_write_json(fsio.join(t.meta_dir, "VERSION"), 0)
         return t
 
     @classmethod
     def exists(cls, path: str) -> bool:
-        return os.path.exists(os.path.join(path, "meta", "VERSION"))
+        return fsio.exists(fsio.join(path, "meta", "VERSION"))
 
     def _merge_partitions(self, n_affected: int) -> int:
         """Write-shuffle width for a merge touching ``n_affected`` buckets:
@@ -135,13 +133,11 @@ class IceliteTable:
         return max(1, min(n_affected, shuffle))
 
     def current_snapshot_id(self) -> int:
-        with open(os.path.join(self.meta_dir, "VERSION")) as f:
-            return json.load(f)
+        return fsio.read_json(fsio.join(self.meta_dir, "VERSION"))
 
     def snapshot(self, snapshot_id: int | None = None) -> dict:
         sid = self.current_snapshot_id() if snapshot_id is None else snapshot_id
-        with open(os.path.join(self.meta_dir, f"v{sid}.json")) as f:
-            return json.load(f)
+        return fsio.read_json(fsio.join(self.meta_dir, f"v{sid}.json"))
 
     # ---------------- schema helpers ----------------
 
@@ -284,26 +280,26 @@ class IceliteTable:
             F.col("_bucket"),
         )
         new_sid = snap["snapshot_id"] + 1
-        out_dir = os.path.join(self.data_dir, f"snap{new_sid}")
+        out_dir = fsio.join(self.data_dir, f"snap{new_sid}")
         delta.repartition(self._merge_partitions(len(affected)), F.col("_bucket")).write.mode(
             "overwrite"
         ).partitionBy("_bucket").parquet(out_dir)
 
         new_buckets = {b: list(files) for b, files in snap["buckets"].items()}
-        for entry in os.listdir(out_dir):
+        for entry in fsio.listdir(out_dir):
             if not entry.startswith("_bucket="):
                 continue
             b = entry.split("=", 1)[1]
-            bdir = os.path.join(out_dir, entry)
+            bdir = fsio.join(out_dir, entry)
             new_buckets.setdefault(b, [])
             new_buckets[b] += [
                 {
-                    "path": os.path.join(bdir, fn),
+                    "path": fsio.join(bdir, fn),
                     "schema_version": snap["schema_version"],
                     "kind": "delta",
-                    "bytes": os.path.getsize(os.path.join(bdir, fn)),
+                    "bytes": fsio.getsize(fsio.join(bdir, fn)),
                 }
-                for fn in os.listdir(bdir)
+                for fn in fsio.listdir(bdir)
                 if fn.endswith(".parquet")
             ]
         new_snap = dict(snap)
@@ -364,7 +360,7 @@ class IceliteTable:
             return snap["snapshot_id"]
         resolved = self.read(buckets=buckets, include_deleted=True)
         new_sid = snap["snapshot_id"] + 1
-        out_dir = os.path.join(self.data_dir, f"snap{new_sid}")
+        out_dir = fsio.join(self.data_dir, f"snap{new_sid}")
         (
             resolved.withColumn("_bucket", bucket_expr(snap["key"], snap["n_buckets"]))
             .repartition(self._merge_partitions(len(buckets)), F.col("_bucket"))
@@ -375,18 +371,18 @@ class IceliteTable:
         new_buckets = {b: list(files) for b, files in snap["buckets"].items()}
         for b in buckets:  # a compacted bucket that came out empty stays empty
             new_buckets[str(b)] = []
-        for entry in os.listdir(out_dir):
+        for entry in fsio.listdir(out_dir):
             if not entry.startswith("_bucket="):
                 continue
             b = entry.split("=", 1)[1]
-            bdir = os.path.join(out_dir, entry)
+            bdir = fsio.join(out_dir, entry)
             new_buckets[b] = [
                 {
-                    "path": os.path.join(bdir, fn),
+                    "path": fsio.join(bdir, fn),
                     "schema_version": snap["schema_version"],
-                    "bytes": os.path.getsize(os.path.join(bdir, fn)),
+                    "bytes": fsio.getsize(fsio.join(bdir, fn)),
                 }
-                for fn in os.listdir(bdir)
+                for fn in fsio.listdir(bdir)
                 if fn.endswith(".parquet")
             ]
         new_snap = dict(snap)
@@ -473,24 +469,24 @@ class IceliteTable:
         )
 
         new_sid = snap["snapshot_id"] + 1
-        out_dir = os.path.join(self.data_dir, f"snap{new_sid}")
+        out_dir = fsio.join(self.data_dir, f"snap{new_sid}")
         survivors.write.mode("overwrite").partitionBy("_bucket").parquet(out_dir)
 
         new_buckets = dict(snap["buckets"])
         rows_written = 0
         written_buckets = set()
-        for entry in os.listdir(out_dir):
+        for entry in fsio.listdir(out_dir):
             if not entry.startswith("_bucket="):
                 continue
             b = int(entry.split("=", 1)[1])
-            bdir = os.path.join(out_dir, entry)
+            bdir = fsio.join(out_dir, entry)
             files = [
                 {
-                    "path": os.path.join(bdir, fn),
+                    "path": fsio.join(bdir, fn),
                     "schema_version": snap["schema_version"],
-                    "bytes": os.path.getsize(os.path.join(bdir, fn)),
+                    "bytes": fsio.getsize(fsio.join(bdir, fn)),
                 }
-                for fn in os.listdir(bdir)
+                for fn in fsio.listdir(bdir)
                 if fn.endswith(".parquet")
             ]
             new_buckets[str(b)] = files
@@ -518,12 +514,10 @@ class IceliteTable:
         and data files reachable ONLY from snapshots older than the last
         ``keep_last``. Files shared with retained snapshots (untouched
         buckets) survive. Returns the expired snapshot ids."""
-        import shutil
-
         current = self.current_snapshot_id()
         all_sids = sorted(
             int(fn[1:-5])
-            for fn in os.listdir(self.meta_dir)
+            for fn in fsio.listdir(self.meta_dir)
             if fn.startswith("v") and fn.endswith(".json")
         )
         keep = [s for s in all_sids if s > current - keep_last] or [current]
@@ -537,16 +531,20 @@ class IceliteTable:
             snap = self.snapshot(sid)
             for files in snap["buckets"].values():
                 for fe in files:
-                    if fe["path"] not in live_files and os.path.exists(fe["path"]):
-                        os.remove(fe["path"])
-            os.remove(os.path.join(self.meta_dir, f"v{sid}.json"))
-        # drop now-empty snapshot data dirs
-        for entry in os.listdir(self.data_dir):
-            d = os.path.join(self.data_dir, entry)
-            if os.path.isdir(d) and not any(
-                files for _, _, files in os.walk(d)
-            ):
-                shutil.rmtree(d, ignore_errors=True)
+                    if fe["path"] not in live_files and fsio.exists(fe["path"]):
+                        fsio.remove(fe["path"])
+            fsio.remove(fsio.join(self.meta_dir, f"v{sid}.json"))
+        # drop now-empty snapshot data dirs (local only: object stores have
+        # no real directories, and HDFS tolerates empty dirs harmlessly)
+        if not fsio.is_remote(self.data_dir):
+            import shutil
+
+            for entry in os.listdir(self.data_dir):
+                d = os.path.join(self.data_dir, entry)
+                if os.path.isdir(d) and not any(
+                    files for _, _, files in os.walk(d)
+                ):
+                    shutil.rmtree(d, ignore_errors=True)
         return expire
 
     def expire_tombstones(self, min_commit_seq: int, lineage: dict | None = None) -> int:
@@ -568,7 +566,7 @@ class IceliteTable:
         key, nb = snap["key"], snap["n_buckets"]
         data_cols = self.field_names(snap)
         new_sid = snap["snapshot_id"] + 1
-        out_dir = os.path.join(self.data_dir, f"snap{new_sid}")
+        out_dir = fsio.join(self.data_dir, f"snap{new_sid}")
         (
             df.withColumn("_bucket", bucket_expr(key, nb))
             .repartition(nb, F.col("_bucket"))
@@ -577,18 +575,18 @@ class IceliteTable:
             .parquet(out_dir)
         )
         new_buckets: dict[str, list] = {str(b): [] for b in range(nb)}
-        for entry in os.listdir(out_dir):
+        for entry in fsio.listdir(out_dir):
             if not entry.startswith("_bucket="):
                 continue
             b = entry.split("=", 1)[1]
-            bdir = os.path.join(out_dir, entry)
+            bdir = fsio.join(out_dir, entry)
             new_buckets[b] = [
                 {
-                    "path": os.path.join(bdir, fn),
+                    "path": fsio.join(bdir, fn),
                     "schema_version": snap["schema_version"],
-                    "bytes": os.path.getsize(os.path.join(bdir, fn)),
+                    "bytes": fsio.getsize(fsio.join(bdir, fn)),
                 }
-                for fn in os.listdir(bdir)
+                for fn in fsio.listdir(bdir)
                 if fn.endswith(".parquet")
             ]
         new_snap = dict(snap)
@@ -607,8 +605,8 @@ class IceliteTable:
 
     def _commit(self, snap: dict) -> None:
         sid = snap["snapshot_id"]
-        _atomic_write_json(os.path.join(self.meta_dir, f"v{sid}.json"), snap)
-        _atomic_write_json(os.path.join(self.meta_dir, "VERSION"), sid)
+        _atomic_write_json(fsio.join(self.meta_dir, f"v{sid}.json"), snap)
+        _atomic_write_json(fsio.join(self.meta_dir, "VERSION"), sid)
 
 
 def _resolve_lww(df: DataFrame, key: list[str], n_buckets: int) -> DataFrame:

@@ -1,0 +1,60 @@
+"""Metadata-IO portability: the fsio shim must behave identically through
+its local backend (plain paths) and its Hadoop FileSystem backend (URI
+paths). `file:` URIs exercise the full JVM code path — the same calls a
+cluster makes against hdfs:// or s3a:// — without needing object storage.
+"""
+
+import pyspark.sql.functions as F
+
+from nifi_processors_spark.operators.apply import ChangeApplier
+from nifi_processors_spark.plans import fsio
+from nifi_processors_spark.plans.table import IceliteTable
+from nifi_processors_spark.sources.genlog import GenLogConfig, write_change_log
+
+
+def test_fsio_primitives_hadoop_backend(spark, tmp_path):
+    root = f"file:{tmp_path}/meta"
+    assert fsio.is_remote(root) and not fsio.is_remote(str(tmp_path))
+    fsio.makedirs(root)
+    p = fsio.join(root, "x.json")
+    fsio.write_json_atomic(p, {"a": 1, "s": "héllo"})
+    assert fsio.exists(p)
+    assert fsio.read_json(p) == {"a": 1, "s": "héllo"}
+    fsio.write_json_atomic(p, {"a": 2})  # atomic overwrite via rename
+    assert fsio.read_json(p) == {"a": 2}
+    assert fsio.listdir(root) == ["x.json"]
+    assert fsio.getsize(p) > 0
+    fsio.remove(p)
+    assert not fsio.exists(p)
+
+
+def test_cdc_pipeline_over_file_uri(spark, tmp_path):
+    """The full apply loop with table/changelog/state on URI paths: every
+    snapshot, marker, registry, metrics and quarantine file goes through
+    the Hadoop FS backend; result must equal the local-path run."""
+    local_cl = str(tmp_path / "cl")
+    write_change_log(spark, GenLogConfig(n_events=1500, n_epochs=2, n_keys=200), local_cl)
+
+    ref = ChangeApplier(spark, str(tmp_path / "t_local"), local_cl,
+                        str(tmp_path / "s_local"), n_buckets=4)
+    ref.run()
+
+    uri = ChangeApplier(spark, f"file:{tmp_path}/t_uri", f"file:{tmp_path}/cl",
+                        f"file:{tmp_path}/s_uri", n_buckets=4)
+    recs = uri.run()
+    assert len(recs) == 2
+
+    def fp(df):
+        return sorted(
+            (r["repo"], r["path"], r["sha"])
+            for r in df.select("repo", "path", F.sha2("content", 256).alias("sha")).collect()
+        )
+
+    assert fp(uri.state()) == fp(ref.state())
+    # exactly-once markers live behind the URI backend too
+    assert uri.pending_epochs() == []
+    assert len(uri.run()) == 0  # replay is a no-op
+    # time travel through URI metadata
+    t = IceliteTable(spark, f"file:{tmp_path}/t_uri")
+    assert t.current_snapshot_id() >= 2
+    assert t.read(snapshot_id=1).count() > 0
