@@ -211,6 +211,13 @@ def q_minhash_neardup(spark, sf_dir):
     return fuzzy.minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.6, num_hashes=32, bands=16)
 
 
+def q_dup_clusters(spark, sf_dir):
+    """Near-dup pairs -> duplicate clusters (iterative min-label connected
+    components; cluster_id = min doc_id of the component)."""
+    pairs = q_minhash_neardup(spark, sf_dir)
+    return fuzzy.connected_components(pairs)
+
+
 def q_simhash_sketch(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return fuzzy.with_simhash(docs, "text", "simhash", shingle_n=2).select("doc_id", "simhash")
@@ -380,6 +387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "except_users": q_except_users,
         "topk_per_group": q_topk_per_group,
         "minhash_neardup": q_minhash_neardup,
+        "dup_clusters": q_dup_clusters,
         "simhash_sketch": q_simhash_sketch,
         "ivf_topk_fullprobe": q_ivf_topk_fullprobe,
         # rows-only check: nprobe < n_cells is genuinely approximate (no
@@ -453,8 +461,7 @@ SELECT doc_id,
        CAST(sum(CASE WHEN cnt > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
 FROM bits GROUP BY doc_id"""
 
-_MINHASH_SQL = f"""
-WITH {_shingle_cte(3)},
+_MINHASH_CTES = f"""{_shingle_cte(3)},
 sig AS (SELECT doc_id, sh,
                list_transform(range(0, 32), k ->
                  list_min(list_transform(sh, s ->
@@ -467,8 +474,24 @@ cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
 v AS (SELECT id_a, id_b,
              len(list_intersect(x.sh, y.sh))::DOUBLE
                / len(list_distinct(list_cat(x.sh, y.sh)))::DOUBLE AS jaccard
-      FROM cand JOIN d x ON x.doc_id = cand.id_a JOIN d y ON y.doc_id = cand.id_b)
-SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= 0.6"""
+      FROM cand JOIN d x ON x.doc_id = cand.id_a JOIN d y ON y.doc_id = cand.id_b)"""
+
+_MINHASH_SQL = f"WITH {_MINHASH_CTES}\nSELECT id_a, id_b, jaccard FROM v WHERE jaccard >= 0.6"
+
+# connected components over the near-dup graph: cluster_id = min reachable
+# doc_id (recursive closure; UNION dedups -> guaranteed termination)
+_DUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_MINHASH_CTES},
+pairs AS (SELECT id_a, id_b FROM v WHERE jaccard >= 0.6),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT src AS n FROM edges),
+reach(n, r) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT reach.n, e.dst FROM reach JOIN edges e ON reach.r = e.src
+)
+SELECT n AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY n"""
 
 _DETAIL_ROW = """
 SELECT event_id, 'g1' AS group_id,
@@ -613,4 +636,5 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 3""",
         "simhash_sketch": _SIMHASH_SQL,
         "minhash_neardup": _MINHASH_SQL,
+        "dup_clusters": _DUP_CLUSTERS_SQL,
     }

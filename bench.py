@@ -79,7 +79,12 @@ def main() -> None:
         q_times[name] = round(time.monotonic() - t0, 3)
 
     # ---- CDC apply: the headline ----
+    # The host throttles multi-threaded JVM work in multi-minute stretches
+    # with 0% guest-visible steal (identical runs swing 2-4x). Interleave
+    # best-of-N trials per merge mode — contention only ever slows a run
+    # down, so the per-mode minimum approximates the clean-machine number.
     n_epochs = 4
+    n_trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2"))
     try:
         cfg = GenLogConfig(
             n_events=n_events, n_epochs=n_epochs, content_blocks_max=8,
@@ -91,33 +96,35 @@ def main() -> None:
         write_change_log(spark, wcfg, f"{work}/warm_cl")
         ChangeApplier(spark, f"{work}/warm_t", f"{work}/warm_cl", f"{work}/warm_s",
                       n_buckets=max(cpus * 2, 16)).run()
-        ap = ChangeApplier(
-            spark,
-            table_path=f"{work}/table",
-            changelog_dir=f"{work}/changelog",
-            state_dir=f"{work}/state",
-            n_buckets=max(cpus * 2, 16),
-        )
-        t0 = time.monotonic()
-        ap.run()
-        apply_sec = time.monotonic() - t0
-        final_rows = ap.state().count()
 
-        # merge-on-read variant on the same changelog (delta appends +
-        # compaction at the end — the small-epochs-over-huge-table trade)
-        ap_mor = ChangeApplier(
-            spark,
-            table_path=f"{work}/table_mor",
-            changelog_dir=f"{work}/changelog",
-            state_dir=f"{work}/state_mor",
-            n_buckets=max(cpus * 2, 16),
-            merge_mode="mor",
-            compact_every=n_epochs,
-        )
-        t0 = time.monotonic()
-        ap_mor.run()
-        mor_sec = time.monotonic() - t0
-        assert ap_mor.state().count() == final_rows
+        def one_trial(tag: str, mode: str) -> float:
+            ap = ChangeApplier(
+                spark,
+                table_path=f"{work}/table_{tag}",
+                changelog_dir=f"{work}/changelog",
+                state_dir=f"{work}/state_{tag}",
+                n_buckets=max(cpus * 2, 16),
+                merge_mode=mode,
+                compact_every=n_epochs if mode == "mor" else None,
+            )
+            t0 = time.monotonic()
+            ap.run()
+            sec = time.monotonic() - t0
+            one_trial.rows = ap.state().count()
+            shutil.rmtree(f"{work}/table_{tag}", ignore_errors=True)
+            shutil.rmtree(f"{work}/state_{tag}", ignore_errors=True)
+            return sec
+
+        cow_secs, mor_secs = [], []
+        final_rows = None
+        for t in range(n_trials):
+            cow_secs.append(one_trial(f"cow{t}", "cow"))
+            rows_cow = one_trial.rows
+            mor_secs.append(one_trial(f"mor{t}", "mor"))
+            assert one_trial.rows == rows_cow
+            final_rows = rows_cow
+        apply_sec = min(cow_secs)
+        mor_sec = min(mor_secs)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -134,6 +141,8 @@ def main() -> None:
         "cdc_epochs": n_epochs,
         "cdc_final_rows": final_rows,
         "mor_events_per_sec": round(n_events / mor_sec, 1),
+        "apply_trials_sec": {"cow": [round(s, 2) for s in cow_secs],
+                             "mor": [round(s, 2) for s in mor_secs]},
     }
     print(json.dumps(out))
     spark.stop()

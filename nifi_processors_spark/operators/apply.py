@@ -8,27 +8,34 @@ interpreted loop (ExecuteRuleEngine.java:438-565), each *epoch* of the
 change log is applied as one declarative DataFrame plan —
 
     read epoch parquet (predicate/column pruning free via Catalyst)
-      -> ONE stats job: per-bucket counts + full-epoch payload schema
-         (schema_of_variant_agg — drift detection sees EVERY row, so a
-         v2 payload appearing mid-epoch is never silently dropped)
-      -> icelite ALTER, then registry version persist (in that order:
-         a crash between them leaves the registry behind the table,
-         which the tolerant diff repairs on replay — never ahead)
-      -> from_json envelope parse (corrupt / null-key rows quarantined,
-         not fatal)
+      -> skinny per-bucket stats job (key/op columns ONLY — the payload
+         is never read here)
+      -> OPTIMISTIC typed parse with the registry's schema (+ historical
+         old names, so late-arriving pre-rename rows keep their values)
       -> window LWW dedup on (repo, path) by (commit_seq, event_seq)
-      -> copy-on-write bucketed MERGE (only touched buckets rewritten)
+      -> copy-on-write bucketed MERGE carrying a df.observe() drift
+         aggregation (schema_of_variant_agg over EVERY row — a v2 payload
+         appearing mid-epoch is never silently dropped, and the payload
+         is read+parsed exactly ONCE per epoch)
+      -> drift observed? icelite ALTER, then registry persist (in that
+         order: a crash between them leaves the registry behind the
+         table, which the tolerant diff repairs on replay — never ahead),
+         then an idempotent RE-merge with the evolved schema (the LWW
+         tie-break prefers the change row, so the stale first merge is
+         overwritten byte-exactly)
       -> epoch commit marker (exactly-once) + lineage/metrics record
 
-Scale notes: an epoch costs exactly TWO Spark jobs on the happy path —
-the skinny per-bucket stats/drift aggregation (column-pruned scan, and
-the drift agg rides in the same job) and the merge itself (window over
-state ∪ events, one key shuffle, bucket-clustered write); a third job
-runs only when corrupt rows need quarantining. Within-epoch dedup is
-folded into the merge window. Only affected buckets of the target are
-read/rewritten. Everything stays JVM-side (no Python row loop anywhere).
-Hot-repo skew cannot stall the window because the partition key is the
-full (repo, path); the merge spreads buckets evenly by hash.
+Scale notes: an epoch costs exactly TWO Spark jobs on the drift-free
+path — the skinny stats aggregation (column-pruned to the key/op
+columns; at 2 KB payloads that is ~1-2%% of the epoch's bytes) and the
+merge itself (window over state ∪ events, one key shuffle,
+bucket-clustered write, drift detection riding as an observation).
+Epochs with drift (rare: schema changes) or corrupt rows pay one extra
+merge / quarantine write. Within-epoch dedup is folded into the merge
+window. Only affected buckets of the target are read/rewritten.
+Everything stays JVM-side (no Python row loop anywhere). Hot-repo skew
+cannot stall the window because the partition key is the full
+(repo, path); the merge spreads buckets evenly by hash.
 """
 
 from __future__ import annotations
@@ -36,7 +43,7 @@ from __future__ import annotations
 import time
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -45,6 +52,7 @@ from ..plans import fsio
 from ..plans.checkpoint import CheckpointLog
 from ..plans.registry import (
     SchemaRegistry,
+    detect_payload_schema,
     fields_from_variant_schema,
     merge_field_sets,
     payload_schema_agg,
@@ -52,7 +60,7 @@ from ..plans.registry import (
     _SPARK_TYPE,
 )
 from ..plans.table import IceliteTable, bucket_expr
-from .envelope import corrupt_flag, parse_envelope
+from .envelope import malformed_json, parse_envelope
 
 ENVELOPE_KEY = ["repo", "path"]
 ENVELOPE_COLS = ["repo", "path", "op", "commit", "commit_seq", "event_seq"]
@@ -151,6 +159,57 @@ class ChangeApplier:
                 resolve[old] = new
         return resolve
 
+    def _parse_plan(self) -> tuple[list, list, dict[str, str]]:
+        """(registry fields, parse fields, rename resolver). Parse fields
+        include every HISTORICAL pre-rename name (typed as its current
+        target), so a late-arriving event still carrying an old field name
+        parses into a real column and coalesces into the current one —
+        instead of silently losing its value to an unknown-key drop."""
+        cur = self.registry.current()
+        resolve = self._rename_resolver()
+        reg_fields = [(f["name"], f["type"]) for f in cur["fields"]] if cur else []
+        type_of = dict(reg_fields)
+        aliases = [
+            (old, type_of.get(new, "string"))
+            for old, new in resolve.items()
+            if old not in type_of
+        ]
+        return reg_fields, reg_fields + aliases, resolve
+
+    def _build_changes(self, raw: DataFrame, parse_fields: list, resolve: dict[str, str],
+                       table: IceliteTable) -> DataFrame:
+        """Typed envelope parse -> rename-chain resolution (a mid-epoch
+        rename means one epoch carries BOTH names: v1 rows populate the
+        old column, v2 rows the new one — coalesce so no row loses its
+        value) -> align to current table columns (null for columns this
+        epoch lacks) -> drop corrupt / null-key rows."""
+        parsed = parse_envelope(raw, to_struct(parse_fields))
+        for old, new in resolve.items():
+            if old in parsed.columns and new not in parsed.columns:
+                parsed = parsed.withColumnRenamed(old, new)
+            elif old in parsed.columns and new in parsed.columns:
+                parsed = parsed.withColumn(new, F.coalesce(F.col(new), F.col(old))).drop(old)
+        snap = table.snapshot()
+        data_cols = table.field_names(snap)
+        sel = []
+        for c in data_cols:
+            if c in parsed.columns:
+                sel.append(F.col(c))
+            else:
+                ftype = next(
+                    f["type"] for f in snap["schemas"][str(snap["schema_version"])]
+                    if f["name"] == c
+                )
+                from ..plans.table import _type_from_json
+                sel.append(F.lit(None).cast(_type_from_json(ftype)).alias(c))
+        events = parsed.select(*sel, "op", "commit_seq", "event_seq", "_corrupt")
+        events = events.withColumn(
+            "_corrupt",
+            F.col("_corrupt") | F.col("repo").isNull() | F.col("path").isNull()
+            | F.col("op").isNull(),
+        )
+        return events.filter(~F.col("_corrupt")).drop("_corrupt")
+
 
     # ------------- the apply -------------
 
@@ -183,134 +242,114 @@ class ChangeApplier:
         existing = self._table()
         nb = existing.snapshot()["n_buckets"] if existing is not None else self.n_buckets
 
-        # 1. ONE stats+drift job: per-bucket row/delete/bad counts AND the
-        #    full-epoch payload schema (variant agg) in a single skinny
-        #    aggregation — the scan prunes to key/op/payload_json columns.
-        #    Deliberately NOT cached: caching would force materializing
-        #    `content` (measured 2.5x slower at 8 cores than re-scanning in
-        #    the merge). "bad" = malformed JSON payload (schema-free
-        #    detection) or a null key/op column (a malformed envelope must
-        #    quarantine, not silently vanish in the merge window).
-        is_corrupt = corrupt_flag(F.col("payload_json"), T.StructType([]))
+        # 1. skinny per-bucket stats: key/op columns ONLY — the (big)
+        #    payload column is never read in this job; its single read is
+        #    the merge below. Deliberately NOT cached (caching wide data to
+        #    save a re-scan measured 2.5x slower than re-scanning).
         is_badkey = (
             F.col("repo").isNull() | F.col("path").isNull() | F.col("op").isNull()
         )
-        is_bad = is_corrupt | is_badkey
         per_bucket = (
             raw.withColumn("_b", bucket_expr(ENVELOPE_KEY, nb))
             .groupBy("_b")
             .agg(
                 F.count("*").alias("rows"),
-                F.sum(F.when((F.col("op") == "D") & ~is_bad, 1).otherwise(0)).alias("dels"),
-                F.sum(is_bad.cast("int")).alias("bad"),
-                payload_schema_agg(F.when(~is_bad, F.col("payload_json"))).alias("vschema"),
+                F.sum(F.when((F.col("op") == "D") & ~is_badkey, 1).otherwise(0)).alias("dels"),
+                F.sum(is_badkey.cast("int")).alias("badkey"),
             )
             .collect()
         )
-        epoch_fields = merge_field_sets(
-            [fields_from_variant_schema(r["vschema"]) for r in per_bucket]
-        )
+        affected = sorted(int(r["_b"]) for r in per_bucket if r["rows"] > r["badkey"])
+        n_badkey = int(sum(r["badkey"] for r in per_bucket))
 
-        # 2. drift: diff (pure) -> icelite ALTER -> registry persist, in that
-        #    order. A crash after the ALTER leaves the registry behind; on
-        #    replay the diff recomputes and the tolerant filter below skips
-        #    the already-applied parts. (The registry can never be AHEAD of
-        #    the table under this ordering — that was the old silent-null
-        #    crash window.)
-        table = self._ensure_table(epoch_fields)
-        # late-arriving rows can still carry ALREADY-RENAMED field names
-        # (e.g. v1 'lang' events landing epochs after lang->language):
-        # resolve through the cumulative rename chain before diffing, else
-        # the old name would be re-added as a fresh column
-        resolve_pre = self._rename_resolver()
-        diff_fields = (
-            merge_field_sets([[(resolve_pre.get(n, n), t) for n, t in epoch_fields]])
-            if resolve_pre
-            else epoch_fields
-        )
-        cur, renames, adds = self.registry.diff(diff_fields)
-        if cur is None:
-            ver = self.registry.register(epoch_fields, epoch)
-        else:
-            tcols = set(table.field_names())
-            eff_renames = {o: n for o, n in renames.items() if o in tcols and n not in tcols}
-            eff_adds = [(n, ty) for n, ty in adds if n not in tcols]
-            if eff_renames or eff_adds:
-                table.alter(
-                    eff_renames,
-                    [(n, _SPARK_TYPE[ty]) for n, ty in eff_adds],
-                    lineage={"op": "alter", "epoch": epoch, "renames": eff_renames,
-                             "adds": [n for n, _ in eff_adds]},
+        # 2. bootstrap: a table's FIRST epoch pays one extra detection job
+        #    so the table is born with the right payload columns (instead
+        #    of every new table's epoch 0 taking the drift re-merge path)
+        if self.registry.current() is None:
+            boot_fields = detect_payload_schema(raw)
+            self._ensure_table(boot_fields)
+            self.registry.register(boot_fields, epoch)
+        table = self._ensure_table([])
+
+        merge_fn = table.merge if self.merge_mode == "cow" else table.merge_mor
+        n_malformed = 0
+        if affected:
+            # 3. OPTIMISTIC parse with the registry schema; drift detection
+            #    rides the merge job as an observation (schema_of_variant_agg
+            #    over every row — mid-epoch drift is never missed, and the
+            #    payload is read+parsed exactly once per epoch)
+            reg_fields, parse_fields, resolve = self._parse_plan()
+            is_corrupt = malformed_json(F.col("payload_json"))
+            obs = Observation()
+            raw_obs = raw.observe(
+                obs,
+                payload_schema_agg(
+                    F.when(~(is_corrupt | is_badkey), F.col("payload_json"))
+                ).alias("vschema"),
+                F.sum(is_corrupt.cast("int")).alias("malformed"),
+            )
+            changes = self._build_changes(raw_obs, parse_fields, resolve, table)
+            new_sid, mstats = merge_fn(
+                changes,
+                lineage={"op": "merge", "mode": self.merge_mode, "epoch": epoch,
+                         "input_files": input_files},
+                affected=affected,
+            )
+            got = obs.get
+            n_malformed = int(got["malformed"] or 0)
+            epoch_fields = fields_from_variant_schema(got["vschema"])
+            if resolve:  # late rows may still carry already-renamed names
+                epoch_fields = merge_field_sets(
+                    [[(resolve.get(n, n), t) for n, t in epoch_fields]]
                 )
-                if crash is not None:
-                    crash("after_alter", epoch)
-            ver = self.registry.commit_version(renames, adds, epoch) if (renames or adds) else cur
 
-        # 3. typed envelope parse + rename-chain resolution. A mid-epoch
-        #    rename (hinted) means one epoch carries BOTH names: v1 rows
-        #    populate the old column, v2 rows the new one — coalesce them
-        #    into the current name so no row loses its value.
-        parsed = parse_envelope(raw, to_struct(epoch_fields))
-        resolve = self._rename_resolver()
-        for old, new in resolve.items():
-            if old in parsed.columns and new not in parsed.columns:
-                parsed = parsed.withColumnRenamed(old, new)
-            elif old in parsed.columns and new in parsed.columns:
-                parsed = parsed.withColumn(new, F.coalesce(F.col(new), F.col(old))).drop(old)
-
-        # 4. align to current table columns (null for cols this epoch lacks);
-        #    within-epoch LWW dedup is subsumed by the merge window — one
-        #    key-shuffle per epoch instead of two
-        snap = table.snapshot()
-        data_cols = table.field_names(snap)
-        sel = []
-        for c in data_cols:
-            if c in parsed.columns:
-                sel.append(F.col(c))
+            # 4. drift? ALTER first, registry persist second (a crash
+            #    between them leaves the registry behind the table, which
+            #    the tolerant filter repairs on replay — never ahead), then
+            #    an idempotent re-merge: the LWW tie-break prefers the
+            #    change row, so the stale first merge is overwritten exactly.
+            cur, renames, adds = self.registry.diff(epoch_fields)
+            if renames or adds:
+                tcols = set(table.field_names())
+                eff_renames = {o: n for o, n in renames.items()
+                               if o in tcols and n not in tcols}
+                eff_adds = [(n, ty) for n, ty in adds if n not in tcols]
+                if eff_renames or eff_adds:
+                    table.alter(
+                        eff_renames,
+                        [(n, _SPARK_TYPE[ty]) for n, ty in eff_adds],
+                        lineage={"op": "alter", "epoch": epoch, "renames": eff_renames,
+                                 "adds": [n for n, _ in eff_adds]},
+                    )
+                    if crash is not None:
+                        crash("after_alter", epoch)
+                ver = self.registry.commit_version(renames, adds, epoch)
+                _, parse_fields, resolve = self._parse_plan()
+                changes = self._build_changes(raw, parse_fields, resolve, table)
+                new_sid, mstats = merge_fn(
+                    changes,
+                    lineage={"op": "merge_evolved", "mode": self.merge_mode,
+                             "epoch": epoch, "input_files": input_files},
+                    affected=affected,
+                )
             else:
-                ftype = next(
-                    f["type"] for f in snap["schemas"][str(snap["schema_version"])]
-                    if f["name"] == c
-                )
-                from ..plans.table import _type_from_json
-                sel.append(F.lit(None).cast(_type_from_json(ftype)).alias(c))
-        events = parsed.select(*sel, "op", "commit_seq", "event_seq", "_corrupt")
-        events = events.withColumn(
-            "_corrupt",
-            F.col("_corrupt") | F.col("repo").isNull() | F.col("path").isNull()
-            | F.col("op").isNull(),
-        )
+                ver = cur or self.registry.current()
+        else:  # nothing mergeable (empty epoch, or all rows bad-keyed)
+            new_sid = table.snapshot()["snapshot_id"]
+            mstats = {"affected_buckets": 0}
+            ver = self.registry.current()
 
-        n_corrupt = int(sum(r["bad"] for r in per_bucket))
+        n_corrupt = n_badkey + n_malformed
         if n_corrupt > 0:
             # the reference's per-row 'failure' relationship
             # (ExecuteRuleEngine.java:477-481,610-662): corrupt rows land in a
             # quarantine table with their raw payload, the epoch proceeds
-            quarantine = raw.filter(
-                corrupt_flag(F.col("payload_json"), to_struct(epoch_fields)) | is_badkey
-            )
+            quarantine = raw.filter(malformed_json(F.col("payload_json")) | is_badkey)
             # per-epoch dir + overwrite => crash-replays stay idempotent
             quarantine.drop("epoch").write.mode("overwrite").parquet(
                 fsio.join(self.quarantine_dir, f"epoch={epoch}")
             )
-        affected = sorted(int(r["_b"]) for r in per_bucket if r["rows"] > r["bad"])
-        stats_extra = {
-            "rows_upserted": int(sum(r["rows"] - r["dels"] - r["bad"] for r in per_bucket)),
-            "rows_deleted": int(sum(r["dels"] for r in per_bucket)),
-            "partitions": [
-                {"bucket": int(r["_b"]), "rows": int(r["rows"])} for r in per_bucket
-            ],
-        }
-        changes = events.filter(~F.col("_corrupt")).drop("_corrupt")
 
-        # 5. MERGE — copy-on-write, or merge-on-read delta append
-        merge_fn = table.merge if self.merge_mode == "cow" else table.merge_mor
-        new_sid, mstats = merge_fn(
-            changes,
-            lineage={"op": "merge", "mode": self.merge_mode, "epoch": epoch,
-                     "input_files": input_files},
-            affected=affected,
-        )
         if self.merge_mode == "mor" and self.compact_every:
             self._epochs_since_compact += 1
             if self._epochs_since_compact >= self.compact_every:
@@ -324,7 +363,7 @@ class ChangeApplier:
         if crash is not None:
             crash("after_merge", epoch)
 
-        # 6. metrics + exactly-once marker
+        # 5. metrics + exactly-once marker
         rec = {
             "epoch": epoch,
             "snapshot_id": new_sid,
@@ -332,9 +371,15 @@ class ChangeApplier:
             "rows_corrupt": n_corrupt,
             "affected_buckets": mstats.get("affected_buckets"),
             "wall_ms": int((time.monotonic() - t0) * 1000),
-            "schema_version": ver["version"],
+            "schema_version": ver["version"] if ver else 0,
             "input_files": input_files,
-            **stats_extra,
+            "rows_upserted": int(
+                sum(r["rows"] - r["dels"] - r["badkey"] for r in per_bucket)
+            ) - n_malformed,
+            "rows_deleted": int(sum(r["dels"] for r in per_bucket)),
+            "partitions": [
+                {"bucket": int(r["_b"]), "rows": int(r["rows"])} for r in per_bucket
+            ],
         }
         if self.collect_metrics:
             self.metrics.append(rec)

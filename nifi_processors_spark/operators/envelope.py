@@ -68,6 +68,17 @@ def parse_envelope(changes: DataFrame, payload_schema: T.StructType) -> DataFram
     return out.drop("_payload", "payload_json")
 
 
+def malformed_json(payload_json):
+    """Cheap schema-free corrupt check: a non-null payload that is not a
+    parseable JSON OBJECT. One variant parse per row — used by the stats
+    job so the epoch's payloads are parsed once there (the variant agg
+    shares the parse), not twice (from_json + variant)."""
+    head = F.substring(F.ltrim(payload_json), 1, 1)
+    return payload_json.isNotNull() & (
+        (head != "{") | F.try_parse_json(payload_json).isNull()
+    )
+
+
 def corrupt_flag(payload_json, payload_schema: T.StructType):
     """Boolean Column: true when payload_json is non-null but unparseable
     (for quarantining raw rows without going through parse_envelope)."""

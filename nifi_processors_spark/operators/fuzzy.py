@@ -320,6 +320,62 @@ def simhash_pairs(
     )
 
 
+# ---------------- dup clustering (connected components) ----------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Group near-dup pairs into clusters: every node gets the MINIMUM id
+    reachable in its component as ``cluster_id`` — the canonical "keep one
+    representative per duplicate group" step after LSH pair generation.
+
+    Algorithm: iterative min-label propagation (label(v) = min(v, labels
+    of neighbors)) run to a fixpoint — converges in O(component diameter)
+    rounds, and near-dup clusters are shallow (diameter is small by
+    construction), so this is a handful of hash-join rounds, never an
+    all-pairs pass. Each round is one join + one groupBy on the edge list;
+    the driver only checks a scalar convergence count per round. For
+    graphs with long chains swap in large-star/small-star; for dup
+    clusters this is the right simple tool.
+    """
+    edges = pairs.select(
+        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+    )
+    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels = (
+        sym.select(F.col("src").alias("v"))
+        .distinct()
+        .withColumn("label", F.col("v"))
+    )
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(labels, sym["src"] == labels["v"])
+            .groupBy("dst")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["v"] == neigh["dst"], "left")
+            .select(
+                "v",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+                (F.coalesce(F.col("nlabel"), F.col("label")) < F.col("label")).alias("_chg"),
+            )
+        )
+        # iterative fixpoint: truncate lineage each round (labels are two
+        # longs per dup-graph node — tiny relative to the corpus) so round
+        # k doesn't recompute rounds 0..k-1
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = new_labels.filter(F.col("_chg")).limit(1).count()
+        labels = new_labels.drop("_chg")
+        if changed == 0:
+            break
+    return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 # ---------------- n-gram jaccard (direct) ----------------
 
 

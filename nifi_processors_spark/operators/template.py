@@ -76,6 +76,160 @@ def render_template(
     return df.withColumn(out_col, F.concat(*parts) if parts else F.lit(""))
 
 
+# ---------------- Velocity directive subset ----------------
+#
+# The reference's Velocity engine supports #set/#if/#foreach beyond simple
+# references (its shipped examples use only $name, README.md:49-66, so
+# this is surplus parity). The subset below compiles to PURE EXPRESSIONS:
+# #if -> F.when over the raw column's truthiness, #foreach -> F.transform
+# + array_join over an array column, #set -> driver-side literal binding.
+# Still one projection, no per-row template engine.
+
+_DIRECTIVE = re.compile(
+    r"#set\s*\(\s*\$(\w+)\s*=\s*\"([^\"]*)\"\s*\)"            # 1: var, 2: literal
+    r"|#if\s*\(\s*\$\{?(\w+)\}?\s*\)"                          # 3: cond ref
+    r"|#foreach\s*\(\s*\$(\w+)\s+in\s+\$\{?(\w+)\}?\s*\)"      # 4: loop var, 5: list ref
+    r"|#else\b"
+    r"|#end\b"
+    r"|\$\{(\w+)\}|\$(\w+)"                                    # 6/7: simple ref
+)
+
+
+def parse_velocity(template: str) -> list:
+    """Template -> AST: ('text', s) | ('ref', name) |
+    ('if', cond, body, else_body) | ('foreach', var, list, body) |
+    ('set', var, literal). Unbalanced #if/#foreach/#end raise."""
+    root: list = []
+    stack: list[tuple[str, list]] = [("root", root)]
+
+    def top() -> list:
+        return stack[-1][1]
+
+    pos = 0
+    for m in _DIRECTIVE.finditer(template):
+        if m.start() > pos:
+            top().append(("text", template[pos : m.start()]))
+        pos = m.end()
+        g = m.groups()
+        if g[0] is not None:  # set
+            top().append(("set", g[0], g[1]))
+        elif g[2] is not None:  # if
+            node = ["if", g[2], [], []]
+            top().append(node)
+            stack.append(("if", node[2]))
+        elif g[3] is not None:  # foreach
+            node = ["foreach", g[3], g[4], []]
+            top().append(node)
+            stack.append(("foreach", node[3]))
+        elif m.group(0).startswith("#else"):
+            if stack[-1][0] != "if":
+                raise ValueError("#else outside #if")
+            # switch the stack top to the else-branch of the innermost #if
+            node = _innermost_if(stack)
+            stack[-1] = ("if-else", node[3])
+        elif m.group(0).startswith("#end"):
+            if len(stack) == 1:
+                raise ValueError("#end without #if/#foreach")
+            stack.pop()
+        else:  # simple ref
+            top().append(("ref", g[5] or g[6]))
+    if pos < len(template):
+        top().append(("text", template[pos:]))
+    if len(stack) != 1:
+        raise ValueError("unclosed #if/#foreach")
+    return root
+
+
+def _innermost_if(stack):
+    """Find the if-node whose then-branch is the current stack top."""
+    cur = stack[-1][1]
+    for _, parent in reversed(stack[:-1]):
+        for item in parent:
+            if isinstance(item, list) and item[0] == "if" and item[2] is cur:
+                return item
+    raise ValueError("#else outside #if")
+
+
+def _truthy(c: Column) -> Column:
+    """Velocity truth: non-null and not boolean false."""
+    return c.isNotNull() & (c.cast("string") != F.lit("false"))
+
+
+def render_velocity(
+    df: DataFrame,
+    template: str,
+    out_col: str = "content",
+    attribute_filter: str | None = None,
+    null_as: str = "",
+) -> DataFrame:
+    """Render a template with the Velocity directive subset (#set literal,
+    #if/#else/#end, #foreach over an array column). Same reference
+    semantics as render_template for simple refs (filter, scrub,
+    unresolved -> literal placeholder)."""
+    allowed = set(df.columns)
+    if attribute_filter is not None:
+        rx = re.compile(attribute_filter)
+        allowed = {c for c in allowed if rx.match(c)}
+    ast = parse_velocity(template)
+
+    def ref_str(name: str, env: dict) -> Column:
+        if name in env:
+            return env[name]
+        if name in allowed:
+            return F.coalesce(
+                scrub_line_separators(F.col(name).cast("string")), F.lit(null_as)
+            )
+        return F.lit(f"${name}")
+
+    def ref_raw(name: str, env: dict) -> Column:
+        if name in env:
+            return env[name]
+        if name in allowed:
+            return F.col(name)
+        return F.lit(None)
+
+    def mk_body(body: list, env: dict, var: str):
+        def f(x):
+            e2 = dict(env)
+            e2[var] = F.coalesce(scrub_line_separators(x.cast("string")), F.lit(null_as))
+            return render(body, e2)
+
+        return f
+
+    def render(nodes: list, env: dict) -> Column:
+        env = dict(env)
+        parts: list[Column] = []
+        for n in nodes:
+            kind = n[0]
+            if kind == "text":
+                parts.append(F.lit(n[1]))
+            elif kind == "set":
+                env[n[1]] = F.lit(n[2])
+            elif kind == "ref":
+                parts.append(ref_str(n[1], env))
+            elif kind == "if":
+                parts.append(
+                    F.when(_truthy(ref_raw(n[1], env)), render(n[2], env)).otherwise(
+                        render(n[3], env)
+                    )
+                )
+            elif kind == "foreach":
+                _, var, lst, body = n
+                if lst in allowed:
+                    arr = F.col(lst)
+                    parts.append(
+                        F.when(
+                            arr.isNotNull(),
+                            F.array_join(F.transform(arr, mk_body(body, env, var)), ""),
+                        ).otherwise(F.lit(""))
+                    )
+                else:
+                    parts.append(F.lit(""))
+        return F.concat(*parts) if parts else F.lit("")
+
+    return df.withColumn(out_col, render(ast, {}))
+
+
 def render_json(df: DataFrame, fields: list[str], out_col: str = "content") -> DataFrame:
     """Structured shortcut for JSON targets: ``to_json(struct(...))`` —
     use this instead of a JSON-shaped text template when the output must

@@ -42,8 +42,17 @@ from pyspark.sql import types as T
 
 from . import fsio
 
-SYS_COLS = ["_commit_seq", "_event_seq", "_deleted"]
-_SYS_TYPES = {"_commit_seq": T.LongType(), "_event_seq": T.LongType(), "_deleted": T.BooleanType()}
+SYS_COLS = ["_commit_seq", "_event_seq", "_delta_seq", "_deleted"]
+_SYS_TYPES = {
+    "_commit_seq": T.LongType(),
+    "_event_seq": T.LongType(),
+    # snapshot id that wrote the row — the FINAL LWW tie-break: two rows
+    # with identical (key, commit_seq, event_seq) but different bytes can
+    # coexist after a drift re-merge or a crash-replay in merge-on-read
+    # mode; the later-written one must deterministically win
+    "_delta_seq": T.LongType(),
+    "_deleted": T.BooleanType(),
+}
 
 
 def _atomic_write_json(path: str, obj: Any) -> None:
@@ -272,14 +281,15 @@ class IceliteTable:
         if not affected:
             return snap["snapshot_id"], {"affected_buckets": 0}
 
+        new_sid = snap["snapshot_id"] + 1
         delta = ch.select(
             *[F.col(c) for c in data_cols],
             F.col("commit_seq").alias("_commit_seq"),
             F.col("event_seq").alias("_event_seq"),
+            F.lit(new_sid).cast("long").alias("_delta_seq"),
             (F.col("op") == "D").alias("_deleted"),
             F.col("_bucket"),
         )
-        new_sid = snap["snapshot_id"] + 1
         out_dir = fsio.join(self.data_dir, f"snap{new_sid}")
         delta.repartition(self._merge_partitions(len(affected)), F.col("_bucket")).write.mode(
             "overwrite"
@@ -438,10 +448,12 @@ class IceliteTable:
             .withColumn("_bucket", bexpr)
             .withColumn("_is_change", F.lit(0))
         )
+        new_sid = snap["snapshot_id"] + 1
         chn = ch.select(
             *[F.col(c) for c in data_cols],
             F.col("commit_seq").alias("_commit_seq"),
             F.col("event_seq").alias("_event_seq"),
+            F.lit(new_sid).cast("long").alias("_delta_seq"),
             (F.col("op") == "D").alias("_deleted"),
             F.col("_bucket"),
             F.lit(1).alias("_is_change"),
@@ -457,6 +469,7 @@ class IceliteTable:
             *[F.col(c) for c in key],
             F.col("_commit_seq").desc(),
             F.col("_event_seq").desc(),
+            F.col("_delta_seq").desc(),
             F.col("_is_change").desc(),
         )
         # the per-key winner is kept even when it is a delete: tombstones
@@ -562,6 +575,8 @@ class IceliteTable:
         """Full rewrite (bootstrap/backfill path). df: data cols + SYS_COLS."""
         if "_deleted" not in df.columns:
             df = df.withColumn("_deleted", F.lit(False))
+        if "_delta_seq" not in df.columns:
+            df = df.withColumn("_delta_seq", F.lit(0).cast("long"))
         snap = self.snapshot()
         key, nb = snap["key"], snap["n_buckets"]
         data_cols = self.field_names(snap)
@@ -612,13 +627,15 @@ class IceliteTable:
 def _resolve_lww(df: DataFrame, key: list[str], n_buckets: int) -> DataFrame:
     """Per-key LWW winner across unresolved rows: one bucket-distribution
     shuffle + sort-within-partitions + lag head-of-group (same shape as the
-    CoW merge; ties only occur between byte-identical replayed rows)."""
+    CoW merge; byte-unequal ties — drift re-merge, crash replay — resolve
+    to the later _delta_seq)."""
     cols = [c for c in df.columns]
     b = bucket_expr(key, n_buckets)
     w = Window.partitionBy("_rb").orderBy(
         *[F.col(c) for c in key],
         F.col("_commit_seq").desc(),
         F.col("_event_seq").desc(),
+        F.col("_delta_seq").desc(),  # later-written delta wins byte-unequal ties
     )
     with_b = df.withColumn("_rb", b).repartition(F.col("_rb"))
     return (

@@ -25,12 +25,12 @@ MID_CFG = GenLogConfig(n_events=3000, n_epochs=3, evolve_at_event=1500, n_keys=4
 
 
 def make_applier(spark, changelog, root, name, **kw):
+    kw.setdefault("n_buckets", 8)
     return ChangeApplier(
         spark,
         table_path=str(root / f"{name}_table"),
         changelog_dir=changelog,
         state_dir=str(root / f"{name}_state"),
-        n_buckets=8,
         **kw,
     )
 
@@ -196,6 +196,28 @@ def test_bucket_scoped_compaction_keeps_cold_files(spark, tmp_path):
         if int(b) not in hot:
             assert after[b] == paths, f"cold bucket {b} was rewritten"
     assert after[str(hot[0])] != before[str(hot[0])]
+
+
+def test_merge_write_parallelism_scales_with_conf(spark, tmp_path):
+    """The merge shuffle width follows spark.sql.shuffle.partitions, not a
+    literal 64: with 128 affected buckets and shuffle=128, the bucket
+    repartition must use >64 partitions."""
+    cfg = GenLogConfig(n_events=4000, n_epochs=1, n_keys=2000)
+    cl = str(tmp_path / "cl")
+    write_change_log(spark, cfg, cl)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "128")
+    try:
+        ap = make_applier(spark, cl, tmp_path, "wide", n_buckets=128)
+        ap.apply_epoch(0)
+        t = IceliteTable(spark, ap.table_path)
+        assert t._merge_partitions(128) == 128
+        assert t._merge_partitions(4000) == 128  # capped by conf, not 64
+        # the write really fanned out: >64 buckets produced >64 task outputs
+        snap = t.snapshot()
+        assert sum(1 for files in snap["buckets"].values() if files) > 64
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def test_marker_namespaces_do_not_collide(tmp_path):
