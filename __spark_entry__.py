@@ -3,9 +3,13 @@
 entry(spark)  -> flagship CDC LWW-state query on sf0.001.
 queries()     -> one callable per implemented operator (SURVEY.md §2 +
                  training-data ops), (spark, sf_dir) -> DataFrame.
-oracle_sql()  -> DuckDB-equivalent SQL per query (same column aliases);
-                 omitted only for genuinely non-SQL ops (LSH/IVF
-                 approximations) which get rows-only checks.
+                 28 queries; 27 carry DuckDB oracles.
+oracle_sql()  -> DuckDB-equivalent SQL per query (same column aliases).
+                 The ONLY rows-only query is ivf_topk (nprobe < n_cells
+                 is genuinely approximate; its exact full-probe twin
+                 ivf_topk_fullprobe IS oracled, and the sketch ops use
+                 sha256-derived hashing so DuckDB reproduces signatures
+                 bit-for-bit).
 
 CDC semantics used on the driver's `events` table (a generic change
 stream): key = user_id, LWW order = (ts, event_id), delete = the key's

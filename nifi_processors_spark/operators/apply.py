@@ -249,7 +249,7 @@ class ChangeApplier:
         is_badkey = (
             F.col("repo").isNull() | F.col("path").isNull() | F.col("op").isNull()
         )
-        per_bucket = (
+        stats_df = (
             raw.withColumn("_b", bucket_expr(ENVELOPE_KEY, nb))
             .groupBy("_b")
             .agg(
@@ -257,10 +257,24 @@ class ChangeApplier:
                 F.sum(F.when((F.col("op") == "D") & ~is_badkey, 1).otherwise(0)).alias("dels"),
                 F.sum(is_badkey.cast("int")).alias("badkey"),
             )
-            .collect()
         )
-        affected = sorted(int(r["_b"]) for r in per_bucket if r["rows"] > r["badkey"])
-        n_badkey = int(sum(r["badkey"] for r in per_bucket))
+        # Merge-on-read never READS the table, so the affected-bucket set
+        # isn't needed before the merge — run the stats job CONCURRENTLY
+        # with it (the tasks interleave; the epoch's wall is the merge
+        # alone). Copy-on-write must know which buckets to read: sequential.
+        stats_fut = pool = None
+        per_bucket = affected = None
+        concurrent_stats = (
+            self.merge_mode == "mor" and self.registry.current() is not None
+        )
+        if concurrent_stats:
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = ThreadPoolExecutor(max_workers=1)
+            stats_fut = pool.submit(stats_df.collect)
+        else:
+            per_bucket = stats_df.collect()
+            affected = sorted(int(r["_b"]) for r in per_bucket if r["rows"] > r["badkey"])
 
         # 2. bootstrap: a table's FIRST epoch pays one extra detection job
         #    so the table is born with the right payload columns (instead
@@ -273,7 +287,7 @@ class ChangeApplier:
 
         merge_fn = table.merge if self.merge_mode == "cow" else table.merge_mor
         n_malformed = 0
-        if affected:
+        if affected is None or affected:
             # 3. OPTIMISTIC parse with the registry schema; drift detection
             #    rides the merge job as an observation (schema_of_variant_agg
             #    over every row — mid-epoch drift is never missed, and the
@@ -339,6 +353,10 @@ class ChangeApplier:
             mstats = {"affected_buckets": 0}
             ver = self.registry.current()
 
+        if stats_fut is not None:
+            per_bucket = stats_fut.result()
+            pool.shutdown()
+        n_badkey = int(sum(r["badkey"] for r in per_bucket))
         n_corrupt = n_badkey + n_malformed
         if n_corrupt > 0:
             # the reference's per-row 'failure' relationship

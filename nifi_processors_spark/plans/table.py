@@ -269,17 +269,23 @@ class IceliteTable:
         across base+delta rows; ``compact()`` folds deltas back into base.
 
         Replay-idempotent: a re-appended epoch duplicates rows with
-        identical (key, commit_seq, event_seq) values; resolution picks an
-        identical winner either way, and compaction drops the duplicates.
+        identical (key, commit_seq, event_seq) values; the _delta_seq
+        tie-break resolves to the later write, and compaction drops the
+        losers.
+
+        ``affected=None`` means "unknown": unlike the CoW merge (which
+        must know which buckets to READ), the delta append never reads
+        the table, so the affected set is derived post-hoc from the
+        written partition dirs — zero pre-merge jobs. The apply loop uses
+        this to run its stats job CONCURRENTLY with the merge.
         """
         snap = self.snapshot()
         key, nb = snap["key"], snap["n_buckets"]
         data_cols = self.field_names(snap)
         ch = changes.withColumn("_bucket", bucket_expr(key, nb))
-        if affected is None:
-            affected = sorted(r["_bucket"] for r in ch.select("_bucket").distinct().collect())
-        if not affected:
+        if affected is not None and not affected:
             return snap["snapshot_id"], {"affected_buckets": 0}
+        width = self._merge_partitions(nb if affected is None else len(affected))
 
         new_sid = snap["snapshot_id"] + 1
         delta = ch.select(
@@ -291,14 +297,16 @@ class IceliteTable:
             F.col("_bucket"),
         )
         out_dir = fsio.join(self.data_dir, f"snap{new_sid}")
-        delta.repartition(self._merge_partitions(len(affected)), F.col("_bucket")).write.mode(
+        delta.repartition(width, F.col("_bucket")).write.mode(
             "overwrite"
         ).partitionBy("_bucket").parquet(out_dir)
 
         new_buckets = {b: list(files) for b, files in snap["buckets"].items()}
+        written = 0
         for entry in fsio.listdir(out_dir):
             if not entry.startswith("_bucket="):
                 continue
+            written += 1
             b = entry.split("=", 1)[1]
             bdir = fsio.join(out_dir, entry)
             new_buckets.setdefault(b, [])
@@ -312,6 +320,9 @@ class IceliteTable:
                 for fn in fsio.listdir(bdir)
                 if fn.endswith(".parquet")
             ]
+        if written == 0:  # empty change-set discovered post-write
+            return snap["snapshot_id"], {"affected_buckets": 0}
+        n_affected = written if affected is None else len(affected)
         new_snap = dict(snap)
         new_snap.update(
             {
@@ -322,7 +333,7 @@ class IceliteTable:
             }
         )
         self._commit(new_snap)
-        return new_sid, {"affected_buckets": len(affected), "snapshot_id": new_sid}
+        return new_sid, {"affected_buckets": n_affected, "snapshot_id": new_sid}
 
     def delta_file_count(self) -> int:
         snap = self.snapshot()
