@@ -79,6 +79,58 @@ def assign_cells(
     return assigned, centroids
 
 
+def build_ivf_index(
+    vectors: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Persist an IVF index: vectors assigned to their nearest centroid,
+    written as parquet PARTITIONED BY cell (write once, query many — the
+    100 TB path). A probe then reads only its nprobe cell directories:
+    partition pruning turns each query into a fractional scan, no shuffle
+    of the corpus ever again. Centroids live in a `_centroids` subdir."""
+    assigned, centroids = assign_cells(vectors, n_cells, vec_col, id_col)
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/vectors")
+    centroids.write.mode("overwrite").parquet(f"{path}/_centroids")
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k against a persisted IVF index. The cell filter is
+    an IN-list on the partition column, so the scan prunes to the probed
+    cell directories (`PartitionFilters` in explain) — cost scales with
+    nprobe/n_cells of the corpus, not its size."""
+    centroids = spark.read.parquet(f"{path}/_centroids")
+    c = F.broadcast(centroids)
+    q_scored = (
+        queries.select(query_id_col, query_vec_col)
+        .crossJoin(c)
+        .withColumn("_sim", cosine(F.col(query_vec_col), F.col("centroid")))
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(F.col("_sim").desc(), F.col("cell"))
+    probes = (
+        q_scored.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select(query_id_col, query_vec_col, "cell")
+    )
+    vectors = spark.read.parquet(f"{path}/vectors")
+    scored = (
+        vectors.join(F.broadcast(probes), "cell")
+        .withColumn("cosine", cosine(F.col("embedding"), F.col(query_vec_col)))
+        .select(query_id_col, "vec_id", "cosine")
+    )
+    return _partial_topk(scored, query_id_col, k).select(query_id_col, "vec_id", "cosine", "rank")
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,

@@ -193,6 +193,25 @@ def test_ivf_topk_recall(vecs):
     assert all((q, q) in a for q, _ in e if _ == q)
 
 
+def test_ivf_persisted_index(vecs, spark, tmp_path):
+    """Persisted IVF index: same results as the inline path, and the probe
+    scan is partition-pruned to the probed cells (the write-once /
+    query-many shape)."""
+    idx = str(tmp_path / "ivf")
+    similarity.build_ivf_index(vecs, idx, n_cells=8)
+    queries = vecs.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    inline = similarity.ivf_topk(vecs, queries, k=3, n_cells=8, nprobe=4)
+    indexed = similarity.ivf_topk_indexed(spark, idx, queries, k=3, nprobe=4)
+    a = {(r["query_id"], r["vec_id"], r["rank"]) for r in inline.collect()}
+    b = {(r["query_id"], r["vec_id"], r["rank"]) for r in indexed.collect()}
+    assert a == b
+    # the probe plan prunes partitions (dynamic partition pruning on cell)
+    plan = indexed._jdf.queryExecution().toString()
+    assert "dynamicpruning" in plan.lower() or "PartitionFilters: [" in plan
+
+
 def test_multimodal_plumbing(spark):
     media = multimodal.synthetic_media(spark, 20, kind="image")
     # names + types match the contract (nullability differs by construction)
