@@ -56,6 +56,18 @@ CHECKS = {
     "cdc_state_events": [
         ("single exchange (window reused for filter)", None, "exchange==1"),
     ],
+    "minhash_neardup": [
+        ("never all-pairs (no cartesian product anywhere)", r"CartesianProduct", "absent"),
+    ],
+    "simhash_pairs": [
+        ("candidates shuffle on pigeonhole sub-keys (no cartesian product)", r"CartesianProduct", "absent"),
+    ],
+    "embedding_neardup": [
+        ("candidates shuffle on band keys (no cartesian product)", r"CartesianProduct", "absent"),
+    ],
+    "lsh_bucket_audit": [
+        ("one shuffle: map-side partial count before the exchange", r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate", "simple"),
+    ],
 }
 
 

@@ -3,7 +3,7 @@
 entry(spark)  -> flagship CDC LWW-state query on sf0.001.
 queries()     -> one callable per implemented operator (SURVEY.md §2 +
                  training-data ops), (spark, sf_dir) -> DataFrame.
-                 28 queries; 27 carry DuckDB oracles.
+                 32 queries; 31 carry DuckDB oracles.
 oracle_sql()  -> DuckDB-equivalent SQL per query (same column aliases).
                  The ONLY rows-only query is ivf_topk (nprobe < n_cells
                  is genuinely approximate; its exact full-probe twin
@@ -355,6 +355,55 @@ def q_except_users(spark, sf_dir):
     return clicks.exceptAll(buys)
 
 
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs via the 16-bit-quarter pigeonhole buckets
+    (candidates shuffle on sub-keys, never all-pairs; integer-exact so the
+    oracle reproduces it bit-for-bit)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = fuzzy.simhash_pairs(docs, "text", "doc_id", max_hamming=8, shingle_n=2)
+    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+# hyperplanes pinned as literals (portable to the DuckDB oracle; one
+# zip_with per plane instead of an xxhash64 per (plane, element))
+_EMB_PLANES = fuzzy.make_plane_vectors(planes=16, dim=64, seed=7)
+
+
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding cosine near-dup via banded random-hyperplane LSH:
+    16 sign bits in 8 bands of 2 — candidate on any band match, verified
+    by true cosine."""
+    em = _t(spark, sf_dir, "embeddings")
+    vecs = em.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    out = fuzzy.embedding_neardup_pairs(
+        vecs, "embedding", "vec_id", threshold=0.4,
+        plane_vectors=_EMB_PLANES, bands=8,
+    )
+    return out.select("id_a", "id_b", F.round("cosine", 3).alias("cosine"))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """All-pairs n-gram Jaccard — the exact baseline the LSH variants
+    approximate (bounded input by contract; here the sf docs table)."""
+    docs = _t(spark, sf_dir, "documents")
+    return fuzzy.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.6, n=3)
+
+
+def q_lsh_bucket_audit(spark, sf_dir):
+    """Band-bucket size audit for the LSH degenerate-bucket cap: per
+    multi-member bucket, its size and the pairs a cap of 4 would drop."""
+    docs = _t(spark, sf_dir, "documents")
+    out = fuzzy.lsh_bucket_stats(
+        docs, "text", "doc_id", num_hashes=32, bands=16, max_bucket_size=4
+    )
+    return out.select(
+        F.col("band").cast("long").alias("band"), "bucket_key",
+        "bucket_size", "dropped_pairs",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: CDC LWW state of the sf0.001 event stream, annotated with
     rule routing — the declarative core of the apply pipeline."""
@@ -393,6 +442,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_neardup": q_minhash_neardup,
         "dup_clusters": q_dup_clusters,
         "simhash_sketch": q_simhash_sketch,
+        "simhash_pairs": q_simhash_pairs,
+        "embedding_neardup": q_embedding_neardup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "lsh_bucket_audit": q_lsh_bucket_audit,
         "ivf_topk_fullprobe": q_ivf_topk_fullprobe,
         # rows-only check: nprobe < n_cells is genuinely approximate (no
         # exact SQL analogue); its recall is asserted vs brute force in
@@ -453,34 +506,99 @@ def _shingle_cte(n: int) -> str:
             FROM words)"""
 
 
-_SIMHASH_SQL = f"""
-WITH {_shingle_cte(2)},
+_SIMHASH_CTES = f"""{_shingle_cte(2)},
 hv AS (SELECT doc_id, {_portable60('s')} AS hv
        FROM (SELECT doc_id, unnest(sh) AS s FROM d)),
 bits AS (SELECT doc_id, b,
                 sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
          FROM hv CROSS JOIN (SELECT unnest(range(0, 60)) AS b) bs
-         GROUP BY doc_id, b)
-SELECT doc_id,
-       CAST(sum(CASE WHEN cnt > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
-FROM bits GROUP BY doc_id"""
+         GROUP BY doc_id, b),
+sims AS (SELECT doc_id,
+                CAST(sum(CASE WHEN cnt > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+         FROM bits GROUP BY doc_id)"""
 
-_MINHASH_CTES = f"""{_shingle_cte(3)},
+_SIMHASH_SQL = f"WITH {_SIMHASH_CTES}\nSELECT doc_id, simhash FROM sims"
+
+# pigeonhole pairs: distance <= 8 < 16 implies at least one identical
+# 16-bit quarter (fuzzy.simhash_pairs) — integer-exact end to end
+_SIMHASH_PAIRS_SQL = f"""
+WITH {_SIMHASH_CTES},
+quarters AS (SELECT doc_id, simhash, q, (simhash >> (q * 16)) & 65535 AS k
+             FROM sims CROSS JOIN (SELECT unnest(range(0, 4)) AS q) qs),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                a.simhash AS sim_a, b.simhash AS sim_b
+         FROM quarters a JOIN quarters b
+           ON a.q = b.q AND a.k = b.k AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 8"""
+
+_MINHASH_BAND_CTES = f"""{_shingle_cte(3)},
 sig AS (SELECT doc_id, sh,
                list_transform(range(0, 32), k ->
                  list_min(list_transform(sh, s ->
                    ((2*k+1) * ({_portable60('s')} % {_P31}) + ((k*2654435761) % {_P31})) % {_P31}))) AS sig
         FROM d),
 bands AS (SELECT doc_id, b, concat_ws('|', sig[2*b+1], sig[2*b+2]) AS h
-          FROM sig CROSS JOIN (SELECT unnest(range(0, 16)) AS b) bs),
+          FROM sig CROSS JOIN (SELECT unnest(range(0, 16)) AS b) bs)"""
+
+_MINHASH_CTES = f"""{_MINHASH_BAND_CTES},
+-- rk <= 256 mirrors minhash_lsh_pairs' degenerate-bucket cap
+-- (slice of the SORTED in-bucket id list, fuzzy.py max_bucket_size)
+ranked AS (SELECT doc_id, b, h,
+                  row_number() OVER (PARTITION BY b, h ORDER BY doc_id) AS rk
+           FROM bands),
 cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
-         FROM bands a JOIN bands c ON a.b = c.b AND a.h = c.h AND a.doc_id < c.doc_id),
+         FROM ranked a JOIN ranked c ON a.b = c.b AND a.h = c.h AND a.doc_id < c.doc_id
+         WHERE a.rk <= 256 AND c.rk <= 256),
 v AS (SELECT id_a, id_b,
              len(list_intersect(x.sh, y.sh))::DOUBLE
                / len(list_distinct(list_cat(x.sh, y.sh)))::DOUBLE AS jaccard
       FROM cand JOIN d x ON x.doc_id = cand.id_a JOIN d y ON y.doc_id = cand.id_b)"""
 
 _MINHASH_SQL = f"WITH {_MINHASH_CTES}\nSELECT id_a, id_b, jaccard FROM v WHERE jaccard >= 0.6"
+
+# fuzzy.lsh_bucket_stats mirror: per multi-member band bucket, size and
+# the pairs a cap of 4 would drop (C(n,2) - C(min(n,4),2))
+_LSH_AUDIT_SQL = f"""
+WITH {_MINHASH_BAND_CTES}
+SELECT b AS band, h AS bucket_key,
+       count(*)::BIGINT AS bucket_size,
+       ((count(*) * (count(*) - 1)) // 2
+        - (least(count(*), 4) * (least(count(*), 4) - 1)) // 2)::BIGINT AS dropped_pairs
+FROM bands GROUP BY b, h HAVING count(*) >= 2"""
+
+# exact all-pairs n-gram jaccard (the LSH baseline; same shingle CTE)
+_NGRAM_JACCARD_SQL = f"""
+WITH {_shingle_cte(3)}
+SELECT id_a, id_b, jaccard FROM (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+         len(list_intersect(x.sh, y.sh))::DOUBLE
+           / len(list_distinct(list_cat(x.sh, y.sh)))::DOUBLE AS jaccard
+  FROM d x JOIN d y ON x.doc_id < y.doc_id)
+WHERE jaccard >= 0.6"""
+
+# banded random-hyperplane LSH mirror: the EXACT plane literals used by
+# the Spark plan (fuzzy.make_plane_vectors(16, 64, seed=7)); 8 bands of 2
+# sign bits, candidates verified by true cosine
+_PLANE_ROWS = ",\n  ".join(
+    f"({p}, [{', '.join(repr(x) for x in pv)}])" for p, pv in enumerate(_EMB_PLANES)
+)
+_EMB_NEARDUP_SQL = f"""
+WITH planes(p, pv) AS (VALUES
+  {_PLANE_ROWS}),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+dots AS (SELECT vec_id, p,
+                list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * pv[i])) AS dot
+         FROM v CROSS JOIN planes),
+bandk AS (SELECT vec_id, p // 2 AS band,
+                 CAST(sum(CASE WHEN dot > 0 THEN 1 << (p % 2) ELSE 0 END) AS BIGINT) AS k
+          FROM dots GROUP BY vec_id, p // 2),
+cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM bandk a JOIN bandk b
+           ON a.band = b.band AND a.k = b.k AND a.vec_id < b.vec_id),
+pairs AS (SELECT id_a, id_b, list_cosine_similarity(x.v, y.v) AS cosine
+          FROM cand JOIN v x ON x.vec_id = cand.id_a JOIN v y ON y.vec_id = cand.id_b)
+SELECT id_a, id_b, round(cosine, 3) AS cosine FROM pairs WHERE cosine >= 0.4"""
 
 # connected components over the near-dup graph: cluster_id = min reachable
 # doc_id (recursive closure; UNION dedups -> guaranteed termination)
@@ -639,6 +757,10 @@ def oracle_sql() -> dict[str, str]:
                    FROM scored)
             SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 3""",
         "simhash_sketch": _SIMHASH_SQL,
+        "simhash_pairs": _SIMHASH_PAIRS_SQL,
         "minhash_neardup": _MINHASH_SQL,
         "dup_clusters": _DUP_CLUSTERS_SQL,
+        "lsh_bucket_audit": _LSH_AUDIT_SQL,
+        "ngram_jaccard": _NGRAM_JACCARD_SQL,
+        "embedding_neardup": _EMB_NEARDUP_SQL,
     }

@@ -71,12 +71,19 @@ def main() -> None:
 
     queries = entry_mod.queries()
     q_times: dict[str, float] = {}
+    q_trials = int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_TRIALS", "2"))
     for name in BENCH_QUERIES:
-        df = queries[name](spark, sf_dir)
-        df.count()  # warm: plan + scan cache metadata (not the result)
-        t0 = time.monotonic()
-        run_noop(queries[name](spark, sf_dir))
-        q_times[name] = round(time.monotonic() - t0, 3)
+        queries[name](spark, sf_dir).count()  # warm: plan + scan metadata
+    # best-of-N, trials INTERLEAVED across the suite (same treatment as the
+    # apply headline): host throttling stalls multi-minute windows, so two
+    # adjacent runs of one query can both land in a bad window — spreading
+    # a query's trials apart makes the per-query minimum meaningful
+    for _ in range(q_trials):
+        for name in BENCH_QUERIES:
+            t0 = time.monotonic()
+            run_noop(queries[name](spark, sf_dir))
+            sec = round(time.monotonic() - t0, 3)
+            q_times[name] = min(q_times.get(name, sec), sec)
 
     # ---- CDC apply: the headline ----
     # The host throttles multi-threaded JVM work in multi-minute stretches

@@ -21,6 +21,9 @@ from pyspark.sql import types as T
 METRICS_SCHEMA = T.StructType(
     [
         T.StructField("epoch", T.LongType()),
+        # namespaced apply key: str(epoch) for batch, 'stream_<id>_<n>' for
+        # streaming micro-batches — keeps a shared state_dir collision-free
+        T.StructField("marker", T.StringType()),
         T.StructField("snapshot_id", T.LongType()),
         T.StructField("rows_in", T.LongType()),
         T.StructField("rows_upserted", T.LongType()),
@@ -30,6 +33,10 @@ METRICS_SCHEMA = T.StructType(
         T.StructField("wall_ms", T.LongType()),
         T.StructField("schema_version", T.LongType()),
         T.StructField("input_files", T.ArrayType(T.StringType())),
+        # set on epochs the staleness guard skipped (marker-loss replay of
+        # an epoch wholly below the tombstone-expiry watermark)
+        T.StructField("skipped_stale", T.BooleanType()),
+        T.StructField("tombstone_watermark", T.LongType()),
         T.StructField(
             "partitions",
             T.ArrayType(
@@ -51,7 +58,8 @@ class MetricsLog:
         fsio.makedirs(path)
 
     def append(self, rec: dict[str, Any]) -> None:
-        fsio.write_json_atomic(fsio.join(self.path, f"epoch_{rec['epoch']}.json"), rec)
+        key = rec.get("marker") or rec["epoch"]
+        fsio.write_json_atomic(fsio.join(self.path, f"epoch_{key}.json"), rec)
 
     def records(self) -> list[dict]:
         out = []

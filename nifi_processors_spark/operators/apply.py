@@ -80,12 +80,26 @@ class ChangeApplier:
         collect_metrics: bool = True,
         merge_mode: str = "cow",
         compact_every: int | None = None,
+        expire_snapshots_every: int | None = None,
+        keep_snapshots: int = 2,
+        expire_tombstones_every: int | None = None,
+        tombstone_lateness: int = 1_000,
     ):
         """``merge_mode``: 'cow' rewrites touched buckets per epoch (read
         cost stays flat); 'mor' appends delta files (write cost scales with
         the change-set, reads resolve LWW until ``compact_every`` epochs
         trigger a compaction — the right trade when epochs are small
-        relative to the table, the common 100 TB shape)."""
+        relative to the table, the common 100 TB shape).
+
+        Maintenance cadence (long-running tables): every
+        ``expire_snapshots_every`` applied epochs, snapshots older than the
+        last ``keep_snapshots`` are expired (bounds meta/ and orphaned data
+        files); every ``expire_tombstones_every`` epochs, delete tombstones
+        with ``_commit_seq < max_applied_commit_seq - tombstone_lateness``
+        are dropped (bounds tombstone growth; the lateness slack keeps any
+        straggler event that could still legally arrive maskable). Both are
+        off by default — a 100-epoch run with them unset behaves exactly as
+        before."""
         self.spark = spark
         self.table_path = table_path
         self.changelog_dir = changelog_dir
@@ -102,6 +116,13 @@ class ChangeApplier:
         self.merge_mode = merge_mode
         self.compact_every = compact_every
         self._epochs_since_compact = 0
+        self.expire_snapshots_every = expire_snapshots_every
+        self.keep_snapshots = keep_snapshots
+        self.expire_tombstones_every = expire_tombstones_every
+        self.tombstone_lateness = tombstone_lateness
+        self._epochs_since_expire = 0
+        self._epochs_since_tombstone_expire = 0
+        self._max_commit_seq: int | None = None
 
     # ------------- discovery -------------
 
@@ -240,7 +261,53 @@ class ChangeApplier:
         input_files = input_files or []
 
         existing = self._table()
-        nb = existing.snapshot()["n_buckets"] if existing is not None else self.n_buckets
+        snap0 = existing.snapshot() if existing is not None else None
+        nb = snap0["n_buckets"] if snap0 is not None else self.n_buckets
+
+        # Staleness guard (only on tables that ever ran tombstone expiry):
+        # once a masking tombstone is expired, merging an event OLDER than
+        # the recorded watermark could resurrect a deleted row. An epoch
+        # wholly below the watermark can only be a marker-loss replay of an
+        # already-applied epoch (the expiry contract says no NEW event that
+        # old can arrive) -> skip it and re-commit its marker (self-heal,
+        # byte-identical state). A PARTIALLY stale epoch is a contract
+        # violation -> refuse loudly instead of silently diverging. Costs
+        # one skinny (commit_seq-only) pre-scan, paid only when a watermark
+        # exists; the stats job cannot supply this because in MOR mode it
+        # intentionally runs concurrently with the merge.
+        wm = snap0.get("tombstone_watermark") if snap0 is not None else None
+        if wm is not None:
+            mm = raw.filter(
+                F.col("repo").isNotNull() & F.col("path").isNotNull()
+                & F.col("op").isNotNull()
+            ).agg(
+                F.min("commit_seq").alias("lo"), F.max("commit_seq").alias("hi")
+            ).first()
+            if mm["hi"] is not None and mm["hi"] < wm:
+                key = epoch if marker is None else marker
+                rec = {
+                    "epoch": epoch, "marker": str(key),
+                    "snapshot_id": snap0["snapshot_id"], "rows_in": 0,
+                    "rows_corrupt": 0, "affected_buckets": 0,
+                    "wall_ms": int((time.monotonic() - t0) * 1000),
+                    "schema_version": (self.registry.current() or {}).get("version", 0),
+                    "input_files": input_files, "rows_upserted": 0,
+                    "rows_deleted": 0, "partitions": [],
+                    "skipped_stale": True, "tombstone_watermark": wm,
+                }
+                if self.collect_metrics:
+                    self.metrics.append(rec)
+                self.checkpoints.commit(key, {"snapshot_id": snap0["snapshot_id"],
+                                              "skipped_stale": True})
+                return rec
+            if mm["lo"] is not None and mm["lo"] < wm:
+                raise RuntimeError(
+                    f"epoch {epoch}: contains events with commit_seq "
+                    f"{mm['lo']} < tombstone-expiry watermark {wm}; applying "
+                    "them could resurrect deleted rows. Raise "
+                    "tombstone_lateness above the stream's real disorder, "
+                    "or rebuild the table from the full changelog."
+                )
 
         # 1. skinny per-bucket stats: key/op columns ONLY — the (big)
         #    payload column is never read in this job; its single read is
@@ -256,6 +323,8 @@ class ChangeApplier:
                 F.count("*").alias("rows"),
                 F.sum(F.when((F.col("op") == "D") & ~is_badkey, 1).otherwise(0)).alias("dels"),
                 F.sum(is_badkey.cast("int")).alias("badkey"),
+                # high-water mark feeding the tombstone-expiry watermark
+                F.max(F.when(~is_badkey, F.col("commit_seq"))).alias("maxc"),
             )
         )
         # Merge-on-read never READS the table, so the affected-bucket set
@@ -276,96 +345,117 @@ class ChangeApplier:
             per_bucket = stats_df.collect()
             affected = sorted(int(r["_b"]) for r in per_bucket if r["rows"] > r["badkey"])
 
-        # 2. bootstrap: a table's FIRST epoch pays one extra detection job
-        #    so the table is born with the right payload columns (instead
-        #    of every new table's epoch 0 taking the drift re-merge path)
-        if self.registry.current() is None:
-            boot_fields = detect_payload_schema(raw)
-            self._ensure_table(boot_fields)
-            self.registry.register(boot_fields, epoch)
-        table = self._ensure_table([])
+        try:
+            # 2. bootstrap: a table's FIRST epoch pays one extra detection job
+            #    so the table is born with the right payload columns (instead
+            #    of every new table's epoch 0 taking the drift re-merge path)
+            if self.registry.current() is None:
+                boot_fields = detect_payload_schema(raw)
+                self._ensure_table(boot_fields)
+                self.registry.register(boot_fields, epoch)
+            table = self._ensure_table([])
 
-        merge_fn = table.merge if self.merge_mode == "cow" else table.merge_mor
-        n_malformed = 0
-        if affected is None or affected:
-            # 3. OPTIMISTIC parse with the registry schema; drift detection
-            #    rides the merge job as an observation (schema_of_variant_agg
-            #    over every row — mid-epoch drift is never missed, and the
-            #    payload is read+parsed exactly once per epoch)
-            reg_fields, parse_fields, resolve = self._parse_plan()
-            is_corrupt = malformed_json(F.col("payload_json"))
-            obs = Observation()
-            raw_obs = raw.observe(
-                obs,
-                payload_schema_agg(
-                    F.when(~(is_corrupt | is_badkey), F.col("payload_json"))
-                ).alias("vschema"),
-                F.sum(is_corrupt.cast("int")).alias("malformed"),
-            )
-            changes = self._build_changes(raw_obs, parse_fields, resolve, table)
-            new_sid, mstats = merge_fn(
-                changes,
-                lineage={"op": "merge", "mode": self.merge_mode, "epoch": epoch,
-                         "input_files": input_files},
-                affected=affected,
-            )
-            got = obs.get
-            n_malformed = int(got["malformed"] or 0)
-            epoch_fields = fields_from_variant_schema(got["vschema"])
-            if resolve:  # late rows may still carry already-renamed names
-                epoch_fields = merge_field_sets(
-                    [[(resolve.get(n, n), t) for n, t in epoch_fields]]
+            merge_fn = table.merge if self.merge_mode == "cow" else table.merge_mor
+            n_malformed = 0
+            if affected is None or affected:
+                # 3. OPTIMISTIC parse with the registry schema; drift detection
+                #    rides the merge job as an observation (schema_of_variant_agg
+                #    over every row — mid-epoch drift is never missed, and the
+                #    payload is read+parsed exactly once per epoch)
+                reg_fields, parse_fields, resolve = self._parse_plan()
+                is_corrupt = malformed_json(F.col("payload_json"))
+                obs = Observation()
+                raw_obs = raw.observe(
+                    obs,
+                    payload_schema_agg(
+                        F.when(~(is_corrupt | is_badkey), F.col("payload_json"))
+                    ).alias("vschema"),
+                    # badkey and malformed must PARTITION the corrupt set —
+                    # a row that is both null-keyed and malformed counts
+                    # once (as badkey), or rows_upserted double-subtracts
+                    F.sum((is_corrupt & ~is_badkey).cast("int")).alias("malformed"),
                 )
-
-            # 4. drift? ALTER first, registry persist second (a crash
-            #    between them leaves the registry behind the table, which
-            #    the tolerant filter repairs on replay — never ahead), then
-            #    an idempotent re-merge: the LWW tie-break prefers the
-            #    change row, so the stale first merge is overwritten exactly.
-            cur, renames, adds = self.registry.diff(epoch_fields)
-            if renames or adds:
-                tcols = set(table.field_names())
-                eff_renames = {o: n for o, n in renames.items()
-                               if o in tcols and n not in tcols}
-                eff_adds = [(n, ty) for n, ty in adds if n not in tcols]
-                if eff_renames or eff_adds:
-                    table.alter(
-                        eff_renames,
-                        [(n, _SPARK_TYPE[ty]) for n, ty in eff_adds],
-                        lineage={"op": "alter", "epoch": epoch, "renames": eff_renames,
-                                 "adds": [n for n, _ in eff_adds]},
-                    )
-                    if crash is not None:
-                        crash("after_alter", epoch)
-                ver = self.registry.commit_version(renames, adds, epoch)
-                _, parse_fields, resolve = self._parse_plan()
-                changes = self._build_changes(raw, parse_fields, resolve, table)
+                changes = self._build_changes(raw_obs, parse_fields, resolve, table)
                 new_sid, mstats = merge_fn(
                     changes,
-                    lineage={"op": "merge_evolved", "mode": self.merge_mode,
-                             "epoch": epoch, "input_files": input_files},
+                    lineage={"op": "merge", "mode": self.merge_mode, "epoch": epoch,
+                             "input_files": input_files},
                     affected=affected,
                 )
-            else:
-                ver = cur or self.registry.current()
-        else:  # nothing mergeable (empty epoch, or all rows bad-keyed)
-            new_sid = table.snapshot()["snapshot_id"]
-            mstats = {"affected_buckets": 0}
-            ver = self.registry.current()
+                got = obs.get
+                n_malformed = int(got["malformed"] or 0)
+                epoch_fields = fields_from_variant_schema(got["vschema"])
+                if resolve:  # late rows may still carry already-renamed names
+                    epoch_fields = merge_field_sets(
+                        [[(resolve.get(n, n), t) for n, t in epoch_fields]]
+                    )
 
-        if stats_fut is not None:
-            per_bucket = stats_fut.result()
-            pool.shutdown()
+                # 4. drift? ALTER first, registry persist second (a crash
+                #    between them leaves the registry behind the table, which
+                #    the tolerant filter repairs on replay — never ahead), then
+                #    an idempotent re-merge: the LWW tie-break prefers the
+                #    change row, so the stale first merge is overwritten exactly.
+                cur, renames, adds = self.registry.diff(epoch_fields)
+                if renames or adds:
+                    tcols = set(table.field_names())
+                    eff_renames = {o: n for o, n in renames.items()
+                                   if o in tcols and n not in tcols}
+                    eff_adds = [(n, ty) for n, ty in adds if n not in tcols]
+                    if eff_renames or eff_adds:
+                        table.alter(
+                            eff_renames,
+                            [(n, _SPARK_TYPE[ty]) for n, ty in eff_adds],
+                            lineage={"op": "alter", "epoch": epoch, "renames": eff_renames,
+                                     "adds": [n for n, _ in eff_adds]},
+                        )
+                        if crash is not None:
+                            crash("after_alter", epoch)
+                    ver = self.registry.commit_version(renames, adds, epoch)
+                    _, parse_fields, resolve = self._parse_plan()
+                    changes = self._build_changes(raw, parse_fields, resolve, table)
+                    new_sid, mstats = merge_fn(
+                        changes,
+                        lineage={"op": "merge_evolved", "mode": self.merge_mode,
+                                 "epoch": epoch, "input_files": input_files},
+                        affected=affected,
+                    )
+                else:
+                    ver = cur or self.registry.current()
+            else:  # nothing mergeable (empty epoch, or all rows bad-keyed)
+                new_sid = table.snapshot()["snapshot_id"]
+                mstats = {"affected_buckets": 0}
+                ver = self.registry.current()
+
+            if stats_fut is not None:
+                per_bucket = stats_fut.result()
+        finally:
+            if pool is not None:
+                # always released — a merge/registry failure must not leak a
+                # worker thread per failed epoch (round-2 advice); a not-yet-
+                # started collect is cancelled outright
+                pool.shutdown(wait=False, cancel_futures=True)
+        # one key namespaces EVERYTHING an apply writes: quarantine dir,
+        # metrics file, checkpoint marker. Streaming micro-batches pass a
+        # namespaced marker ('stream_<id>_<batch>'); without threading it
+        # through here, stream batch N would clobber batch epoch N's
+        # quarantined rows and metrics record (round-2 advice).
+        key = epoch if marker is None else marker
         n_badkey = int(sum(r["badkey"] for r in per_bucket))
+        maxc = [r["maxc"] for r in per_bucket if r["maxc"] is not None]
+        if maxc:
+            m = int(max(maxc))
+            self._max_commit_seq = (
+                m if self._max_commit_seq is None else max(self._max_commit_seq, m)
+            )
         n_corrupt = n_badkey + n_malformed
         if n_corrupt > 0:
             # the reference's per-row 'failure' relationship
             # (ExecuteRuleEngine.java:477-481,610-662): corrupt rows land in a
             # quarantine table with their raw payload, the epoch proceeds
             quarantine = raw.filter(malformed_json(F.col("payload_json")) | is_badkey)
-            # per-epoch dir + overwrite => crash-replays stay idempotent
+            # per-key dir + overwrite => crash-replays stay idempotent
             quarantine.drop("epoch").write.mode("overwrite").parquet(
-                fsio.join(self.quarantine_dir, f"epoch={epoch}")
+                fsio.join(self.quarantine_dir, f"epoch={key}")
             )
 
         if self.merge_mode == "mor" and self.compact_every:
@@ -384,6 +474,7 @@ class ChangeApplier:
         # 5. metrics + exactly-once marker
         rec = {
             "epoch": epoch,
+            "marker": str(key),
             "snapshot_id": new_sid,
             "rows_in": int(sum(r["rows"] for r in per_bucket)),
             "rows_corrupt": n_corrupt,
@@ -401,14 +492,59 @@ class ChangeApplier:
         }
         if self.collect_metrics:
             self.metrics.append(rec)
-        self.checkpoints.commit(epoch if marker is None else marker, {"snapshot_id": new_sid})
+        self.checkpoints.commit(key, {"snapshot_id": new_sid})
         return rec
 
+    def maintain(self, tombstones: bool = True, snapshots: bool = True) -> dict:
+        """One maintenance pass: expire old tombstones (full rewrite — run
+        rarely), then old snapshots (bounds meta/ + orphaned data files).
+        Called automatically by ``run`` on the configured cadences; safe to
+        call ad hoc. Replay stays exactly-once: committed epochs are marker-
+        skipped, so an expired tombstone can never be resurrected by them,
+        and the lateness slack keeps every commit_seq a straggler could
+        still carry above the watermark."""
+        t = self._table()
+        out: dict = {}
+        if t is None:
+            return out
+        if tombstones and self._max_commit_seq is not None:
+            wm = self._max_commit_seq - self.tombstone_lateness
+            if wm > 0:
+                out["tombstone_watermark"] = wm
+                out["tombstone_snapshot"] = t.expire_tombstones(
+                    wm, lineage={"op": "expire_tombstones", "watermark": wm}
+                )
+        if snapshots:
+            out["expired_snapshots"] = t.expire_snapshots(self.keep_snapshots)
+        return out
+
+    def _tick_maintenance(self) -> None:
+        snap_due = tomb_due = False
+        if self.expire_snapshots_every:
+            self._epochs_since_expire += 1
+            snap_due = self._epochs_since_expire >= self.expire_snapshots_every
+        if self.expire_tombstones_every:
+            self._epochs_since_tombstone_expire += 1
+            tomb_due = (
+                self._epochs_since_tombstone_expire >= self.expire_tombstones_every
+            )
+        if not (snap_due or tomb_due):
+            return
+        self.maintain(tombstones=tomb_due, snapshots=snap_due)
+        if tomb_due:
+            self._epochs_since_tombstone_expire = 0
+        if snap_due:
+            self._epochs_since_expire = 0
+
     def run(self, crash: Callable[[str, int], None] | None = None) -> list[dict]:
-        """Apply all pending epochs in order (exactly-once via markers)."""
+        """Apply all pending epochs in order (exactly-once via markers),
+        interleaving the configured maintenance cadences — a 100-epoch run
+        with ``expire_snapshots_every`` set keeps meta/ bounded instead of
+        accumulating one snapshot file (+ orphaned data) per epoch."""
         out = []
         for e in self.pending_epochs():
             out.append(self.apply_epoch(e, crash=crash))
+            self._tick_maintenance()
         return out
 
     def state(self) -> DataFrame:

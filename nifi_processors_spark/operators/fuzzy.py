@@ -76,10 +76,14 @@ def word_shingles(c: Column, n: int = 3) -> Column:
     (~3x faster on real documents)."""
     words = F.split(normalize_text(c), " ")
     k = F.greatest(F.size(words) - (n - 1), F.lit(1))
+    # try_element_at: a doc shorter than n words indexes past the array —
+    # ANSI mode (Spark 4 default) would THROW on element_at; try_ returns
+    # null, concat_ws skips it, and the doc degrades to its partial gram
+    # (DuckDB mirrors this: list extract out-of-range is NULL there too)
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), k - 1),
-            lambda i: F.concat_ws(" ", *[F.element_at(words, i + j + 1) for j in range(n)]),
+            lambda i: F.concat_ws(" ", *[F.try_element_at(words, i + j + 1) for j in range(n)]),
         )
     )
 
@@ -99,7 +103,7 @@ def with_word_shingles(df: DataFrame, text_col: str, out_col: str, n: int = 3) -
                         F.lit(0), F.greatest(F.size(words) - (n - 1), F.lit(1)) - 1
                     ),
                     lambda i: F.concat_ws(
-                        " ", *[F.element_at(F.col(words), i + j + 1) for j in range(n)]
+                        " ", *[F.try_element_at(F.col(words), i + j + 1) for j in range(n)]
                     ),
                 )
             ),
@@ -168,6 +172,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    max_bucket_size: int | None = 256,
 ) -> DataFrame:
     """Near-dup pairs (id_a < id_b, jaccard >= threshold).
 
@@ -179,6 +184,15 @@ def minhash_lsh_pairs(
     Jaccard on candidates only; the shingle re-derivation per join side is
     a column-pruned scan — deliberately NOT persisted, since caching wide
     intermediates inverts scaling (BENCH/BASELINE.md measurement).
+
+    Degenerate-bucket guard: a real corpus has boilerplate repeated 10^5x;
+    all its copies land in ONE band bucket, whose single collect_list row
+    would expand k^2/2 pairs in one task. ``max_bucket_size`` slices each
+    bucket's (sorted) id list to a cap, bounding any task at cap^2/2 pairs
+    — the ids beyond the cap still pair with the kept representative set,
+    and exact-dedup first (``exact_dedup_keep``) is the recipe that removes
+    the degeneracy outright. Audit what a cap dropped with
+    ``lsh_bucket_stats`` (same banding params). None disables.
     """
     rows = num_hashes // bands
     sh = with_word_shingles(df, text_col, "_sh", shingle_n).select(
@@ -199,6 +213,10 @@ def minhash_lsh_pairs(
         .agg(F.sort_array(F.collect_list("_id")).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
+    if max_bucket_size is not None:
+        grouped = grouped.withColumn(
+            "ids", F.slice(F.col("ids"), 1, max_bucket_size)
+        )
     # in-bucket pair expansion: for i<j emit (ids[i], ids[j]). Bucket sizes
     # are small by LSH construction, so the quadratic stays local.
     pair_structs = F.flatten(
@@ -226,6 +244,49 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b", "jaccard")
     )
     return verified
+
+
+def lsh_bucket_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    max_bucket_size: int | None = 256,
+) -> DataFrame:
+    """Band-bucket size audit for ``minhash_lsh_pairs`` (same banding
+    params): one row per multi-member bucket with its size and
+    ``dropped_pairs`` — the number of in-bucket pairs a ``max_bucket_size``
+    cap discards (C(size,2) - C(min(size,cap),2)). Sum ``dropped_pairs``
+    before trusting a capped run on a new corpus; a large value means
+    run exact-dedup first or raise the cap."""
+    rows = num_hashes // bands
+    sh = with_word_shingles(df, text_col, "_sh", shingle_n).select(
+        F.col(id_col).alias("_id"), "_sh"
+    )
+    band_tbl = (
+        sh.withColumn("_bh", minhash_base_hashes(F.col("_sh")))
+        .withColumn("_sig", minhash_signature_from_hashes(F.col("_bh"), num_hashes))
+        .select("_id", F.explode(lsh_bands(F.col("_sig"), bands, rows)).alias("_b"))
+        .select("_id", "_b")
+    )
+    cap = F.lit(max_bucket_size) if max_bucket_size is not None else F.col("bucket_size")
+    kept = F.least(F.col("bucket_size"), cap)
+    pairs_of = lambda n: (n * (n - F.lit(1))) / F.lit(2)  # noqa: E731
+    return (
+        band_tbl.groupBy("_b")
+        .agg(F.count("*").cast("long").alias("bucket_size"))
+        .filter(F.col("bucket_size") >= 2)
+        .select(
+            F.col("_b.band").alias("band"),
+            F.col("_b.h").alias("bucket_key"),
+            "bucket_size",
+            (pairs_of(F.col("bucket_size")) - pairs_of(kept))
+            .cast("long")
+            .alias("dropped_pairs"),
+        )
+    )
 
 
 # ---------------- simhash ----------------
@@ -408,46 +469,95 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
 
 
+def make_plane_vectors(planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1) from a 64-bit
+    splitmix-style generator — plain driver-side floats, so the SAME
+    literals can be embedded in an external oracle (the per-element
+    xxhash64 derivation below cannot be reproduced outside Spark)."""
+    out = []
+    x = seed & 0xFFFFFFFFFFFFFFFF
+    for _ in range(planes * dim):
+        x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        z = x
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        z ^= z >> 31
+        out.append(z / 2.0**63 - 1.0)
+    return [out[p * dim:(p + 1) * dim] for p in range(planes)]
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     vec_col: str,
     id_col: str,
     threshold: float = 0.95,
     planes: int = 16,
+    plane_vectors: list[list[float]] | None = None,
+    bands: int = 1,
 ) -> DataFrame:
     """Cosine near-dup via random-hyperplane LSH: sign-bit sketch of
-    `planes` deterministic pseudo-random hyperplanes -> bucket on the
-    sketch -> verify cosine within buckets. High-cosine pairs collide with
-    high probability; scale path shuffles on sketch keys only."""
+    `planes` deterministic pseudo-random hyperplanes -> bucket on band
+    sub-keys of the sketch -> verify cosine within buckets. High-cosine
+    pairs collide with high probability; scale path shuffles on band keys
+    only (never all-pairs).
+
+    ``plane_vectors`` (from ``make_plane_vectors``) pins the hyperplanes
+    as literal arrays: portable to external oracles and cheaper (a literal
+    zip_with instead of one xxhash64 per (plane, element)). ``bands``
+    tunes recall: 1 = strict full-sketch bucket (near-identical vectors,
+    the >=0.95 dedup case); more bands catch lower-cosine pairs — e.g.
+    16 planes / 8 bands of 2 bits recalls ~99%% of cosine>=0.45 pairs."""
     v = F.col(vec_col)
 
-    def plane_dot(p: int):
-        # hyperplane component h(p, i) in [-1, 1): deterministic from (p, i)
-        return lambda x, i: x * (
-            F.xxhash64(F.lit(f"plane{p}"), i).cast("double") / F.lit(2.0**63)
-        )
+    if plane_vectors is not None:
+        planes = len(plane_vectors)
+        dots = [
+            F.zip_with(v, F.array(*[F.lit(float(x)) for x in pv]), lambda x, y: x * y)
+            for pv in plane_vectors
+        ]
+    else:
+
+        def plane_dot_hash(p: int):
+            # hyperplane component h(p, i) in [-1, 1): deterministic from (p, i)
+            return lambda x, i: x * (
+                F.xxhash64(F.lit(f"plane{p}"), i).cast("double") / F.lit(2.0**63)
+            )
+
+        dots = [
+            F.zip_with(v, F.sequence(F.lit(0), F.size(v) - 1), plane_dot_hash(p))
+            for p in range(planes)
+        ]
 
     sketch_bits = [
         F.when(
-            F.aggregate(
-                F.zip_with(v, F.sequence(F.lit(0), F.size(v) - 1), plane_dot(p)),
-                F.lit(0.0),
-                lambda acc, t: acc + t,
-            )
-            > 0,
+            F.aggregate(dot, F.lit(0.0), lambda acc, t: acc + t) > 0,
             F.lit(1),
         ).otherwise(F.lit(0))
-        for p in range(planes)
+        for dot in dots
     ]
-    sketch = sketch_bits[0].cast("long")
-    for i, b in enumerate(sketch_bits[1:], start=1):
-        sketch = sketch.bitwiseOR(F.shiftleft(b.cast("long"), i))
-    base = df.select(F.col(id_col).alias("_id"), v.alias("_v"), sketch.alias("_sk"))
-    a = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("v_a"), "_sk")
-    b = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("v_b"), "_sk")
+    # band the sign bits (minhash-style): candidate iff ANY band of
+    # `planes // bands` bits matches — bands=1 degenerates to the strict
+    # full-sketch bucket (only near-identical vectors collide); more bands
+    # trade candidate volume for recall at lower cosine thresholds
+    rows = planes // bands
+    band_keys = []
+    for bi in range(bands):
+        key = F.lit(0).cast("long")
+        for r in range(rows):
+            key = key.bitwiseOR(
+                F.shiftleft(sketch_bits[bi * rows + r].cast("long"), r)
+            )
+        band_keys.append(F.struct(F.lit(bi).alias("band"), key.alias("k")))
+    base = df.select(
+        F.col(id_col).alias("_id"), v.alias("_v"),
+        F.explode(F.array(*band_keys)).alias("_bk"),
+    )
+    a = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("v_a"), "_bk")
+    b = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("v_b"), "_bk")
     return (
-        a.join(b, ["_sk"])
+        a.join(b, ["_bk"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
         .withColumn("cosine", cosine(F.col("v_a"), F.col("v_b")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")

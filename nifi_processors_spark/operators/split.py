@@ -51,8 +51,11 @@ def split_positional(
     """content -> prefix000..prefixNNN string columns (reference naming:
     prefix + DecimalFormat, default width 3)."""
     parts = F.split(scrub_line_separators(F.col(content_col)), _escape(separator))
+    # try_element_at: a short row (fewer fields than n_fields) yields null
+    # columns instead of an ANSI out-of-bounds job failure
     cols = [
-        F.element_at(parts, i + 1).alias(f"{prefix}{i:0{width}d}") for i in range(n_fields)
+        F.try_element_at(parts, F.lit(i + 1)).alias(f"{prefix}{i:0{width}d}")
+        for i in range(n_fields)
     ]
     base = [F.col(c) for c in df.columns] if keep else []
     return df.select(*base, *cols)
@@ -73,7 +76,7 @@ def split_named(
     parts = F.split(scrub_line_separators(F.col(content_col)), _escape(separator))
     cols = []
     for i, name in enumerate(field_names):
-        c = F.element_at(parts, i + 1)
+        c = F.try_element_at(parts, F.lit(i + 1))
         if name in field_types:
             c = c.cast(field_types[name])
         cols.append(c.alias(name))

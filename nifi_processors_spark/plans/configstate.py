@@ -27,9 +27,10 @@ class RuleConfigTracker:
         self._cached_sha: str | None = None
 
     def _state(self) -> dict:
-        if not fsio.exists(self.state_path):
-            return {"config_epoch": 0, "path": None, "mtime": None, "sha256": None}
-        return fsio.read_json(self.state_path)
+        return fsio.load_json(
+            self.state_path,
+            default={"config_epoch": 0, "path": None, "mtime": None, "sha256": None},
+        )
 
     def current_epoch(self) -> int:
         return self._state()["config_epoch"]
@@ -45,7 +46,8 @@ class RuleConfigTracker:
         changed = st["sha256"] != sha or st["path"] != zip_path
         if changed:
             epoch = st["config_epoch"] + 1
-            fsio.write_json_atomic(
+            # replace-safe: this state file is REPLACED per config change
+            fsio.publish_json(
                 self.state_path,
                 {"config_epoch": epoch, "path": zip_path,
                  "mtime": os.path.getmtime(zip_path), "sha256": sha},

@@ -39,10 +39,18 @@ def is_remote(path: str) -> bool:
     return bool(_SCHEME_RE.match(path))
 
 
-def _hadoop_fs(path: str):
-    spark = SparkSession.getActiveSession()
+def _session() -> SparkSession:
+    # getActiveSession is THREAD-local; metadata IO must also work from
+    # helper threads (maintenance, concurrent stats), so fall back to the
+    # process-wide instantiated session
+    spark = SparkSession.getActiveSession() or SparkSession._instantiatedSession
     if spark is None:
-        raise RuntimeError(f"remote path {path!r} needs an active SparkSession")
+        raise RuntimeError("remote paths need an active SparkSession")
+    return spark
+
+
+def _hadoop_fs(path: str):
+    spark = _session()
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -133,14 +141,45 @@ def _write_text(path: str, text: str) -> None:
 
 
 def rename(src: str, dst: str) -> None:
+    """Atomic replace. Local: ``os.replace``. Remote: ``FileSystem.rename``
+    when dst is absent; when dst EXISTS, ``FileContext.rename`` with
+    ``Options.Rename.OVERWRITE`` — the atomic clobbering rename on HDFS and
+    local FS, so a reader of a swapped pointer (table VERSION, checkpoint
+    marker, registry JSON) never observes a missing file. The old
+    delete-then-rename left a window where a crash deleted the only copy."""
     if not is_remote(src):
         os.replace(src, dst)
         return
-    _, fs, s = _hadoop_fs(src)
-    jvm, _, d = _hadoop_fs(dst)
-    fs.delete(d, False)  # Hadoop rename refuses to clobber
-    if not fs.rename(s, d):
-        raise IOError(f"rename {src!r} -> {dst!r} failed")
+    jvm, fs, s = _hadoop_fs(src)
+    _, _, d = _hadoop_fs(dst)
+    if not fs.exists(d):
+        if not fs.rename(s, d):
+            raise IOError(f"rename {src!r} -> {dst!r} failed")
+        return
+    spark = _session()
+    try:
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            d.toUri(), spark._jsc.hadoopConfiguration()
+        )
+        gw = spark.sparkContext._gateway
+        opts = gw.new_array(jvm.org.apache.hadoop.fs.Options.Rename, 1)
+        opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+        fc.rename(s, d, opts)
+    except Exception:
+        # Stores without an AbstractFileSystem binding (raw S3A configs)
+        # can't do an atomic overwrite-rename at all; fall back to
+        # delete+rename and say so — the caller chose the store.
+        import warnings
+
+        warnings.warn(
+            f"no atomic overwrite-rename for {dst!r}; falling back to "
+            "delete+rename (non-atomic window — front metadata with a "
+            "catalog or HDFS for crash-safe pointer swaps)",
+            stacklevel=2,
+        )
+        fs.delete(d, False)
+        if not fs.rename(s, d):
+            raise IOError(f"rename {src!r} -> {dst!r} failed")
 
 
 def write_json_atomic(path: str, obj: Any) -> None:
@@ -153,3 +192,92 @@ def write_json_atomic(path: str, obj: Any) -> None:
 
 def read_json(path: str) -> Any:
     return json.loads(read_text(path))
+
+
+# ---------------- replace-safe pointers (generation files) ----------------
+#
+# write_json_atomic is fine for write-once / idempotent files (snapshots,
+# markers, metrics), but a POINTER that is repeatedly REPLACED (table
+# meta/VERSION, the schema registry) must never pass through a
+# deleted-with-no-replacement state: Hadoop's overwrite-rename is only
+# atomic on HDFS proper (the local/AbstractFileSystem default — and S3A —
+# is delete-then-rename under the hood). So on remote paths a pointer is
+# published as a NEW numbered generation file `<name>.<g>` (plain rename
+# to a fresh name: atomic everywhere, no delete of the only copy) and
+# readers resolve current = max g; older generations and the legacy bare
+# file are cleaned up best-effort only after the new one exists. Local
+# paths keep the single-file os.replace (POSIX-atomic already).
+
+_RAISE = object()
+
+
+def _generations(parent: str, base: str) -> list[int]:
+    prefix = base + "."
+    try:
+        names = listdir(parent)
+    except Exception:
+        return []
+    return sorted(
+        int(n[len(prefix):])
+        for n in names
+        if n.startswith(prefix) and n[len(prefix):].isdigit()
+    )
+
+
+def publish_json(path: str, obj: Any) -> None:
+    """Replace-safe pointer publish (see block comment above)."""
+    if not is_remote(path):
+        write_json_atomic(path, obj)
+        return
+    parent, base = path.rsplit("/", 1)
+    gens = _generations(parent, base)
+    tmp = join(parent, f".tmp.{uuid.uuid4().hex[:8]}")
+    _write_text(tmp, json.dumps(obj))
+    rename(tmp, join(parent, f"{base}.{(gens[-1] + 1) if gens else 1}"))
+    for g in gens:  # cleanup AFTER the new generation is live
+        try:
+            remove(join(parent, f"{base}.{g}"))
+        except Exception:
+            pass
+    try:
+        if exists(path):  # legacy bare-file layout
+            remove(path)
+    except Exception:
+        pass
+
+
+def load_json(path: str, default: Any = _RAISE) -> Any:
+    """Read a pointer written by ``publish_json``. Remote: newest
+    generation wins; a generation deleted between list and read means a
+    newer one exists — retry. Falls back to the bare file (legacy layout /
+    local writes)."""
+    if not is_remote(path):
+        if os.path.exists(path):
+            return json.loads(read_text(path))
+        if default is not _RAISE:
+            return default
+        raise FileNotFoundError(path)
+    parent, base = path.rsplit("/", 1)
+    for _ in range(8):
+        gens = _generations(parent, base)
+        if gens:
+            try:
+                return json.loads(read_text(join(parent, f"{base}.{gens[-1]}")))
+            except Exception:
+                continue  # swapped under us; a newer generation exists
+        try:
+            if exists(path):
+                return json.loads(read_text(path))
+        except Exception:
+            continue
+        break  # nothing published at all
+    if default is not _RAISE:
+        return default
+    raise FileNotFoundError(path)
+
+
+def pointer_exists(path: str) -> bool:
+    if not is_remote(path):
+        return os.path.exists(path)
+    parent, base = path.rsplit("/", 1)
+    return bool(_generations(parent, base)) or exists(path)

@@ -54,21 +54,60 @@ _VARIANT_SCALAR = {
 
 
 def _split_top_level(s: str) -> list[str]:
-    """Split 'a: T, b: OBJECT<x: U, y: V>' on depth-0 commas."""
-    out, depth, cur = [], 0, []
-    for ch in s:
-        if ch == "<":
+    """Split 'a: T, b: OBJECT<x: U, y: V>' on depth-0 commas. Spark quotes
+    field names that need it in backticks with `` escaping ('OBJECT<`a,b`:
+    BIGINT>'), so a backtick-quoted span is treated as one opaque token —
+    commas and angle brackets inside it must not steer the split (round-2
+    advice: they used to corrupt registered field names)."""
+    out, depth, cur, i, n = [], 0, [], 0, len(s)
+    in_bt = False
+    while i < n:
+        ch = s[i]
+        if ch == "`":
+            if in_bt and i + 1 < n and s[i + 1] == "`":  # escaped backtick
+                cur.append("``")
+                i += 2
+                continue
+            in_bt = not in_bt
+            cur.append(ch)
+        elif not in_bt and ch in "<(":
+            # '(' too: a JSON decimal literal types as DECIMAL(p,s) — its
+            # comma must not split the field list
             depth += 1
-        elif ch == ">":
+            cur.append(ch)
+        elif not in_bt and ch in ">)":
             depth -= 1
-        if ch == "," and depth == 0:
+            cur.append(ch)
+        elif not in_bt and ch == "," and depth == 0:
             out.append("".join(cur))
             cur = []
         else:
             cur.append(ch)
+        i += 1
     if cur:
         out.append("".join(cur))
     return [p.strip() for p in out if p.strip()]
+
+
+def _split_name_type(part: str) -> tuple[str, str]:
+    """'name: TYPE' -> (unquoted name, type). A backtick-quoted name may
+    itself contain ':' — find the colon AFTER the closing quote."""
+    part = part.strip()
+    if part.startswith("`"):
+        i, n, name_chars = 1, len(part), []
+        while i < n:
+            if part[i] == "`":
+                if i + 1 < n and part[i + 1] == "`":  # `` -> literal `
+                    name_chars.append("`")
+                    i += 2
+                    continue
+                break  # closing quote
+            name_chars.append(part[i])
+            i += 1
+        rest = part[i + 1:].lstrip()
+        return "".join(name_chars), rest[1:].strip() if rest.startswith(":") else rest
+    name, _, ty = part.partition(":")
+    return name.strip(), ty.strip()
 
 
 def fields_from_variant_schema(schema_str: str | None) -> list[tuple[str, str]]:
@@ -82,9 +121,7 @@ def fields_from_variant_schema(schema_str: str | None) -> list[tuple[str, str]]:
     body = schema_str[len("OBJECT<"):].rstrip(">")
     fields: list[tuple[str, str]] = []
     for part in _split_top_level(body):
-        name, _, ty = part.partition(":")
-        name = name.strip().strip("`")
-        ty = ty.strip()
+        name, ty = _split_name_type(part)
         base = ty.split("(", 1)[0].upper()
         if base.startswith("DECIMAL"):
             mapped = "double"
@@ -179,14 +216,14 @@ class SchemaRegistry:
         self.rename_hints = rename_hints or {}
 
     def _load(self) -> dict:
-        if not fsio.exists(self.path):
-            return {"versions": []}
-        return fsio.read_json(self.path)
+        return fsio.load_json(self.path, default={"versions": []})
 
     def _save(self, obj: dict) -> None:
         parent = self.path.rsplit("/", 1)[0] if "/" in self.path else "."
         fsio.makedirs(parent)
-        fsio.write_json_atomic(self.path, obj)
+        # replace-safe publish: the registry file is REPLACED per version —
+        # a crash mid-swap must never leave it deleted (fsio.publish_json)
+        fsio.publish_json(self.path, obj)
 
     def current(self) -> dict | None:
         vs = self._load()["versions"]

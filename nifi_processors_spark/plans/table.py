@@ -85,7 +85,9 @@ class IceliteTable:
 
     Layout::
 
-        path/meta/VERSION          -> current snapshot id (atomic pointer)
+        path/meta/VERSION          -> current snapshot id (replace-safe
+                                      pointer; remote stores use numbered
+                                      VERSION.<g> generations, newest wins)
         path/meta/v{n}.json        -> snapshot n (schemas, bucket->files, lineage)
         path/data/snap{n}/_bucket={b}/part-*.parquet
     """
@@ -126,12 +128,12 @@ class IceliteTable:
             "lineage": {"op": "create"},
         }
         _atomic_write_json(fsio.join(t.meta_dir, "v0.json"), snap)
-        _atomic_write_json(fsio.join(t.meta_dir, "VERSION"), 0)
+        fsio.publish_json(fsio.join(t.meta_dir, "VERSION"), 0)
         return t
 
     @classmethod
     def exists(cls, path: str) -> bool:
-        return fsio.exists(fsio.join(path, "meta", "VERSION"))
+        return fsio.pointer_exists(fsio.join(path, "meta", "VERSION"))
 
     def _merge_partitions(self, n_affected: int) -> int:
         """Write-shuffle width for a merge touching ``n_affected`` buckets:
@@ -142,7 +144,10 @@ class IceliteTable:
         return max(1, min(n_affected, shuffle))
 
     def current_snapshot_id(self) -> int:
-        return fsio.read_json(fsio.join(self.meta_dir, "VERSION"))
+        # replace-safe pointer: on remote stores this resolves the newest
+        # VERSION.<g> generation file — a reader never observes a missing
+        # pointer mid-swap (fsio.publish_json)
+        return fsio.load_json(fsio.join(self.meta_dir, "VERSION"))
 
     def snapshot(self, snapshot_id: int | None = None) -> dict:
         sid = self.current_snapshot_id() if snapshot_id is None else snapshot_id
@@ -574,15 +579,26 @@ class IceliteTable:
     def expire_tombstones(self, min_commit_seq: int, lineage: dict | None = None) -> int:
         """Compaction: drop tombstones with _commit_seq < min_commit_seq (a
         lateness watermark no in-flight event can precede). Bounds tombstone
-        growth on a long-running table; full-table rewrite, run rarely."""
+        growth on a long-running table; full-table rewrite, run rarely.
+
+        The watermark is RECORDED in table metadata (and carried forward by
+        every later snapshot): once a masking tombstone is gone, applying an
+        event older than the watermark could resurrect a deleted row — the
+        apply loop's staleness guard uses this value to skip or refuse such
+        events loudly instead of silently diverging."""
         live = self.read(include_deleted=True).filter(
             ~F.col("_deleted") | (F.col("_commit_seq") >= min_commit_seq)
         )
+        prev = self.snapshot().get("tombstone_watermark")
+        wm = min_commit_seq if prev is None else max(prev, min_commit_seq)
         return self.overwrite(
-            live, lineage=lineage or {"op": "expire_tombstones", "watermark": min_commit_seq}
+            live,
+            lineage=lineage or {"op": "expire_tombstones", "watermark": min_commit_seq},
+            extra_meta={"tombstone_watermark": wm},
         )
 
-    def overwrite(self, df: DataFrame, lineage: dict | None = None) -> int:
+    def overwrite(self, df: DataFrame, lineage: dict | None = None,
+                  extra_meta: dict | None = None) -> int:
         """Full rewrite (bootstrap/backfill path). df: data cols + SYS_COLS."""
         if "_deleted" not in df.columns:
             df = df.withColumn("_deleted", F.lit(False))
@@ -624,6 +640,8 @@ class IceliteTable:
                 "lineage": lineage or {"op": "overwrite"},
             }
         )
+        if extra_meta:
+            new_snap.update(extra_meta)
         self._commit(new_snap)
         return new_sid
 
@@ -632,7 +650,7 @@ class IceliteTable:
     def _commit(self, snap: dict) -> None:
         sid = snap["snapshot_id"]
         _atomic_write_json(fsio.join(self.meta_dir, f"v{sid}.json"), snap)
-        _atomic_write_json(fsio.join(self.meta_dir, "VERSION"), sid)
+        fsio.publish_json(fsio.join(self.meta_dir, "VERSION"), sid)
 
 
 def _resolve_lww(df: DataFrame, key: list[str], n_buckets: int) -> DataFrame:

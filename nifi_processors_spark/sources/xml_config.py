@@ -90,6 +90,45 @@ def _swap_placeholders(text: str) -> str:
     return re.sub(r"\$([01])", lambda m: "$1" if m.group(1) == "0" else "$0", text)
 
 
+def _parse_action(a: "ET.Element") -> dict[str, Any]:
+    """One JaRE <action> -> an ``apply_actions`` spec. Supported: the
+    set-value family (method/classname mentioning setValue, or no method at
+    all with an explicit value) targeting a field named by <object
+    parameter=...> (or a ``field`` attr), value from <parameter value
+    type>/<expected value type>/``value`` attr, fired per ``executeif``
+    (passed|failed|always, JaRE default: failed). Everything else raises."""
+    method = (a.get("method") or "").strip()
+    cls = (a.get("classname") or a.get("class") or "").strip()
+    blob = f"{cls}.{method}".lower()
+    if method or cls:
+        if "setvalue" not in blob and "setfieldvalue" not in blob:
+            raise ValueError(
+                f"unsupported JaRE action {a.get('id')!r}: only set-value "
+                f"actions are mapped (got classname={cls!r} method={method!r})"
+            )
+    obj = a.find("object")
+    field = (obj.get("parameter") if obj is not None else None) or a.get("field")
+    if not field:
+        raise ValueError(
+            f"JaRE action {a.get('id')!r}: no target field "
+            "(<object parameter=...> or field= attr)"
+        )
+    param = a.find("parameter") if a.find("parameter") is not None else a.find("expected")
+    if param is not None:
+        value = _coerce(param.get("value"), (param.get("type") or "string").lower())
+    elif a.get("value") is not None:
+        value = a.get("value")
+    else:
+        raise ValueError(f"JaRE action {a.get('id')!r}: no value to set")
+    when = (a.get("executeif") or a.get("execute") or "failed").strip().lower()
+    if when not in ("passed", "failed", "always"):
+        raise ValueError(f"JaRE action {a.get('id')!r}: executeif={when!r}")
+    out: dict[str, Any] = {"field": field, "set_value": value, "when": when}
+    if a.get("id"):
+        out["id"] = a.get("id")
+    return out
+
+
 def parse_rule_group_xml(text: str) -> dict[str, Any]:
     """One JaRE group XML -> one engine group spec dict.
 
@@ -97,7 +136,9 @@ def parse_rule_group_xml(text: str) -> dict[str, Any]:
     dependentgroupid / dependentgroupexecuteif, <subgroup> attrs id /
     ruleoperator / intergroupoperator, and per <rule>: <object
     parameter=field type=...>, <expected value type>, <execute
-    value=check-class>, <message type=passed|failed text>.
+    value=check-class>, <message type=passed|failed text>. Group-level
+    <action> elements (set-value family) map to ``apply_actions`` specs;
+    unsupported actions raise instead of silently dropping mutations.
     """
     root = ET.fromstring(text)
     g = root if root.tag == "group" else root.find(".//group")
@@ -109,6 +150,22 @@ def parse_rule_group_xml(text: str) -> dict[str, Any]:
     if dep:
         execute_if = (g.get("dependentgroupexecuteif") or "passed").strip().lower()
         group["depends_on"] = {"group": dep, "passed": execute_if != "failed"}
+
+    # JaRE rule ACTIONS (field mutation on group pass/fail — reference:
+    # ExecuteRuleEngine.java:489-510 runs them via the engine's
+    # getRuleExecutionCollection; the shipped demo zip contains none).
+    # The common set-value action maps onto operators.rules.apply_actions
+    # specs; anything else raises — a rule project whose mutations we
+    # cannot honor must fail LOUDLY at load time, not silently skip them.
+    actions = [_parse_action(a) for a in g.findall("action")]
+    if actions:
+        group["actions"] = actions
+    stray = [a for sg_el in g.findall("subgroup") for a in sg_el.iter("action")]
+    if stray:
+        raise ValueError(
+            "unsupported <action> placement: JaRE actions attach to the "
+            "<group> (execute on group result), not inside <subgroup>"
+        )
 
     for sg in g.findall("subgroup"):
         sub: dict[str, Any] = {

@@ -58,3 +58,63 @@ def test_cdc_pipeline_over_file_uri(spark, tmp_path):
     t = IceliteTable(spark, f"file:{tmp_path}/t_uri")
     assert t.current_snapshot_id() >= 2
     assert t.read(snapshot_id=1).count() > 0
+
+
+def test_pointer_swap_never_missing_for_readers(spark, tmp_path):
+    """Regression (round-2 verdict): the old remote pointer swap deleted
+    the destination before renaming (and Hadoop's overwrite-rename is only
+    atomic on HDFS proper — the local AbstractFileSystem default is
+    delete-then-rename too), so a reader of the table VERSION pointer or
+    the registry could observe NO file at all mid-swap. publish_json's
+    generation files never delete the only copy: readers must succeed on
+    every attempt while the writer swaps continuously."""
+    import threading
+
+    root = f"file:{tmp_path}/swap"
+    fsio.makedirs(root)
+    ptr = fsio.join(root, "VERSION")
+    fsio.publish_json(ptr, 0)
+    assert fsio.pointer_exists(ptr)
+    assert fsio.load_json(ptr) == 0
+
+    errors: list[str] = []
+    seen: set[int] = set()
+    stop = threading.Event()
+
+    def reader():
+        while not stop.is_set():
+            try:
+                seen.add(fsio.load_json(ptr))
+            except Exception as e:  # missing OR partial pointer = the bug
+                errors.append(repr(e))
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        for i in range(1, 80):
+            fsio.publish_json(ptr, i)
+    finally:
+        stop.set()
+        t.join()
+    assert errors == []
+    assert seen, "reader never completed a read"
+    assert seen <= set(range(80))
+    # steady state: exactly one generation survives, newest value wins
+    assert fsio.load_json(ptr) == 79
+    names = [n for n in fsio.listdir(root) if n.startswith("VERSION")]
+    assert len(names) == 1
+
+
+def test_pointer_legacy_bare_file_migration(spark, tmp_path):
+    """A pre-existing bare pointer file (legacy layout / a local-path table
+    later accessed by URI) is read correctly and upgraded on next publish."""
+    root = f"file:{tmp_path}/legacy"
+    fsio.makedirs(root)
+    ptr = fsio.join(root, "VERSION")
+    fsio.write_json_atomic(ptr, 7)  # legacy bare file
+    assert fsio.pointer_exists(ptr)
+    assert fsio.load_json(ptr) == 7
+    fsio.publish_json(ptr, 8)
+    assert fsio.load_json(ptr) == 8
+    assert not fsio.exists(ptr)  # bare file cleaned up after migration
+    assert fsio.load_json(fsio.join(root, "MISSING"), default=None) is None

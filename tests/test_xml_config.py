@@ -134,3 +134,58 @@ def test_rowlayout_roundtrip(spark, tmp_path):
     # determinism: same layout+seed -> identical rows
     again = generate_table(spark, 50, layout, seed=7).collect()
     assert rows == again
+
+
+ACTION_GROUP_XML = textwrap.dedent("""\
+    <group id="G_act">
+      <subgroup id="SG1" ruleoperator="and" intergroupoperator="and">
+        <rule id="R1">
+          <object parameter="country_code" type="string"/>
+          <expected value="US" type="string"/>
+          <execute value="com.datamelt.rules.implementation.CheckIsEqual"/>
+        </rule>
+      </subgroup>
+      <action id="A1" classname="com.datamelt.rules.core.action.StringAction"
+              method="setValue" executeif="failed">
+        <object parameter="country_code" type="string"/>
+        <parameter type="string" value="XX"/>
+      </action>
+    </group>
+""")
+
+
+def test_parse_action_bearing_group_and_apply(spark):
+    """Round-2 verdict item 5: JaRE <action> elements must load into
+    apply_actions specs (set-value family) instead of being silently
+    ignored — a rule project WITH actions round-trips and mutates."""
+    from nifi_processors_spark.operators.rules import apply_actions
+
+    g = parse_rule_group_xml(ACTION_GROUP_XML)
+    assert g["actions"] == [
+        {"field": "country_code", "set_value": "XX", "when": "failed", "id": "A1"}
+    ]
+
+    df = spark.createDataFrame(
+        [("US", 1), ("DE", 2), ("FR", 3)], "country_code string, row_id long"
+    )
+    out = apply_actions(df, {"groups": [g]}).orderBy("row_id").collect()
+    assert [r["country_code"] for r in out] == ["US", "XX", "XX"]
+    assert [r["data_modified"] for r in out] == [False, True, True]
+
+
+def test_unknown_action_rejected_loudly():
+    bad = ACTION_GROUP_XML.replace("setValue", "deleteRowEntirely")
+    with pytest.raises(ValueError, match="unsupported JaRE action"):
+        parse_rule_group_xml(bad)
+
+    noval = ACTION_GROUP_XML.replace(
+        '<parameter type="string" value="XX"/>', "")
+    with pytest.raises(ValueError, match="no value to set"):
+        parse_rule_group_xml(noval)
+
+    # actions nested inside a subgroup have no JaRE semantics we honor
+    stray = ACTION_GROUP_XML.replace(
+        "</subgroup>",
+        '<action id="A2" method="setValue" field="x" value="y"/></subgroup>')
+    with pytest.raises(ValueError, match="placement"):
+        parse_rule_group_xml(stray)
