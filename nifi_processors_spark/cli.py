@@ -12,9 +12,10 @@ URI paths (hdfs://, s3a://, file:) are supported end-to-end: data files
 go through Spark's readers/writers, and the engine's metadata layer
 (snapshots, markers, registry, metrics) goes through Hadoop's FileSystem
 via plans/fsio.py (exercised in tests/test_fsio.py with file: URIs).
-Caveat: the snapshot-pointer rename is atomic on local/HDFS but
-copy+delete on raw S3 — keep the metadata dirs on HDFS/a consistent
-store, or front them with a catalog (fsio.py module note).
+Replaced pointer files (VERSION, registry) use numbered generation files
+on remote stores — readers never observe a missing pointer mid-swap; on
+raw S3 the only remaining caveat is write-once visibility of the data
+files themselves (front them with a catalog for multi-writer setups).
 
 Locally (this sandbox) the same module runs under ``python -m``. The
 SparkSession comes from spark-submit's conf when present; local settings
@@ -45,6 +46,24 @@ def main(argv: list[str] | None = None) -> int:
                         help="new=old payload column rename hint (repeatable)")
     ap_cmd.add_argument("--merge-mode", choices=["cow", "mor"], default="cow")
     ap_cmd.add_argument("--compact-every", type=int, default=None)
+    ap_cmd.add_argument("--expire-snapshots-every", type=int, default=None,
+                        help="expire old snapshots every N applied epochs")
+    ap_cmd.add_argument("--keep-snapshots", type=int, default=2)
+    ap_cmd.add_argument("--expire-tombstones-every", type=int, default=None,
+                        help="expire old delete tombstones every N applied epochs")
+    ap_cmd.add_argument("--tombstone-lateness", type=int, default=1000,
+                        help="commit_seq slack kept above the expiry watermark; "
+                        "must exceed the stream's real commit disorder")
+
+    mt_cmd = sub.add_parser("maintain", help="one ad-hoc maintenance pass "
+                            "(expire tombstones + snapshots)")
+    mt_cmd.add_argument("--table", required=True)
+    mt_cmd.add_argument("--changelog", required=True)
+    mt_cmd.add_argument("--state", required=True)
+    mt_cmd.add_argument("--keep-snapshots", type=int, default=2)
+    mt_cmd.add_argument("--tombstone-watermark", type=int, default=None,
+                        help="drop delete tombstones below this commit_seq "
+                        "(omit to only expire snapshots)")
 
     gen_cmd = sub.add_parser("generate", help="write a deterministic synthetic changelog")
     gen_cmd.add_argument("--out", required=True)
@@ -69,11 +88,17 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     hints = dict(h.split("=", 1) for h in getattr(args, "rename_hint", []))
-    applier = ChangeApplier(spark, args.table, args.changelog, args.state,
-                            n_buckets=getattr(args, "buckets", 32),
-                            rename_hints=hints or None,
-                            merge_mode=getattr(args, "merge_mode", "cow"),
-                            compact_every=getattr(args, "compact_every", None))
+    applier = ChangeApplier(
+        spark, args.table, args.changelog, args.state,
+        n_buckets=getattr(args, "buckets", 32),
+        rename_hints=hints or None,
+        merge_mode=getattr(args, "merge_mode", "cow"),
+        compact_every=getattr(args, "compact_every", None),
+        expire_snapshots_every=getattr(args, "expire_snapshots_every", None),
+        keep_snapshots=getattr(args, "keep_snapshots", 2),
+        expire_tombstones_every=getattr(args, "expire_tombstones_every", None),
+        tombstone_lateness=getattr(args, "tombstone_lateness", 1000),
+    )
     if args.cmd == "apply":
         for rec in applier.run():
             print(json.dumps(rec))
@@ -81,6 +106,16 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "state":
         df = applier.state()
         print(json.dumps({"rows": df.count(), "schema": df.schema.simpleString()}))
+        return 0
+    if args.cmd == "maintain":
+        from .plans.table import IceliteTable
+
+        out: dict = {}
+        t = IceliteTable(spark, args.table)
+        if args.tombstone_watermark is not None:
+            out["tombstone_snapshot"] = t.expire_tombstones(args.tombstone_watermark)
+        out["expired_snapshots"] = t.expire_snapshots(args.keep_snapshots)
+        print(json.dumps(out))
         return 0
     return 1
 
