@@ -58,6 +58,13 @@ def test_cdc_pipeline_over_file_uri(spark, tmp_path):
     t = IceliteTable(spark, f"file:{tmp_path}/t_uri")
     assert t.current_snapshot_id() >= 2
     assert t.read(snapshot_id=1).count() > 0
+    # maintenance over the URI backend: tombstone + snapshot expiry go
+    # through Hadoop-FS listdir/remove; state must survive unchanged
+    before = fp(uri.state())
+    t.expire_tombstones(min_commit_seq=10 ** 9)
+    t.expire_snapshots(keep_last=1)
+    assert t.snapshot()["tombstone_watermark"] == 10 ** 9
+    assert fp(uri.state()) == before
 
 
 def test_pointer_swap_never_missing_for_readers(spark, tmp_path):
