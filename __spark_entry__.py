@@ -356,9 +356,9 @@ def q_except_users(spark, sf_dir):
 
 
 def q_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs via the 16-bit-quarter pigeonhole buckets
-    (candidates shuffle on sub-keys, never all-pairs; integer-exact so the
-    oracle reproduces it bit-for-bit)."""
+    """SimHash near-dup pairs via max_hamming+1 pigeonhole block buckets
+    (candidates shuffle on sub-keys, never all-pairs; exact, so the
+    brute-force DuckDB oracle reproduces it bit-for-bit)."""
     docs = _t(spark, sf_dir, "documents")
     out = fuzzy.simhash_pairs(docs, "text", "doc_id", max_hamming=8, shingle_n=2)
     return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
@@ -519,18 +519,19 @@ sims AS (SELECT doc_id,
 
 _SIMHASH_SQL = f"WITH {_SIMHASH_CTES}\nSELECT doc_id, simhash FROM sims"
 
-# pigeonhole pairs: distance <= 8 < 16 implies at least one identical
-# 16-bit quarter (fuzzy.simhash_pairs) — integer-exact end to end
+# Brute-force all-pairs oracle — deliberately NOT a mirror of the Spark
+# candidate structure. fuzzy.simhash_pairs buckets on max_hamming+1
+# pigeonhole blocks (k differing bits leave >=1 of k+1 blocks untouched),
+# which makes it EXACT, so ground truth is the right check: the old
+# 4-fixed-quarter layout silently dropped distance-4..8 pairs and a
+# structure-mirroring oracle ratified the bug instead of catching it.
+_SIMHASH_MAX_HAMMING = 8
 _SIMHASH_PAIRS_SQL = f"""
-WITH {_SIMHASH_CTES},
-quarters AS (SELECT doc_id, simhash, q, (simhash >> (q * 16)) & 65535 AS k
-             FROM sims CROSS JOIN (SELECT unnest(range(0, 4)) AS q) qs),
-cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-                a.simhash AS sim_a, b.simhash AS sim_b
-         FROM quarters a JOIN quarters b
-           ON a.q = b.q AND a.k = b.k AND a.doc_id < b.doc_id)
-SELECT id_a, id_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
-FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 8"""
+WITH {_SIMHASH_CTES}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_MAX_HAMMING}"""
 
 _MINHASH_BAND_CTES = f"""{_shingle_cte(3)},
 sig AS (SELECT doc_id, sh,

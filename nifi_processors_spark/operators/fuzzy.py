@@ -15,8 +15,9 @@ Design per operator:
                   in-bucket pairs -> verify candidates with true Jaccard.
   * simhash     — sign-aggregated shingle hashes (60 informative bits);
                   near-dups have small Hamming distance; bucketing by
-                  16-bit sub-keys (pigeonhole: <=3 differing bits -> one
-                  of 4 sub-keys equal).
+                  max_hamming+1 pigeonhole sub-keys (k differing bits
+                  leave at least one of k+1 blocks untouched) — exact,
+                  no false negatives at any distance bound.
   * embedding   — cosine >= threshold via band-hashed random hyperplanes.
 
 Hash choice: the sketch hashes are sha256-derived (one crypto hash per
@@ -188,11 +189,15 @@ def minhash_lsh_pairs(
     Degenerate-bucket guard: a real corpus has boilerplate repeated 10^5x;
     all its copies land in ONE band bucket, whose single collect_list row
     would expand k^2/2 pairs in one task. ``max_bucket_size`` slices each
-    bucket's (sorted) id list to a cap, bounding any task at cap^2/2 pairs
-    — the ids beyond the cap still pair with the kept representative set,
-    and exact-dedup first (``exact_dedup_keep``) is the recipe that removes
-    the degeneracy outright. Audit what a cap dropped with
-    ``lsh_bucket_stats`` (same banding params). None disables.
+    bucket's (sorted) id list to a cap, bounding any task at cap^2/2 pairs.
+    Ids beyond the cap are DROPPED from that bucket's candidate set
+    entirely (a capped bucket emits only C(cap,2) pairs); they resurface
+    only if another band re-buckets them below its cap, so capped runs
+    lose recall. Quantify exactly what a cap dropped with
+    ``lsh_bucket_stats`` (same banding params; its ``dropped_pairs`` is
+    C(size,2) - C(min(size,cap),2)), and run exact-dedup first
+    (``exact_dedup_keep``) to remove the degeneracy outright. None
+    disables.
     """
     rows = num_hashes // bands
     sh = with_word_shingles(df, text_col, "_sh", shingle_n).select(
@@ -338,6 +343,27 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_block_layout(max_hamming: int, bits: int = PORTABLE_BITS) -> list[tuple[int, int]]:
+    """(offset, width) per pigeonhole block: the ``bits``-bit sketch split
+    into ``max_hamming + 1`` contiguous blocks (widths differ by at most
+    one). With k differing bits and k+1 blocks, at least one block is
+    untouched — that block's sub-key matches, so bucketing on these blocks
+    has ZERO false negatives up to ``max_hamming``. Fewer blocks would NOT
+    (4 fixed quarters only cover distance <= 3); the count must scale with
+    the distance bound, which is why callers never hand-pick it."""
+    n_blocks = max_hamming + 1
+    if not 1 <= n_blocks <= bits:
+        raise ValueError(f"max_hamming must be in [0, {bits - 1}], got {max_hamming}")
+    base, extra = divmod(bits, n_blocks)
+    layout: list[tuple[int, int]] = []
+    off = 0
+    for i in range(n_blocks):
+        width = base + (1 if i < extra else 0)
+        layout.append((off, width))
+        off += width
+    return layout
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str,
@@ -345,16 +371,21 @@ def simhash_pairs(
     max_hamming: int = 3,
     shingle_n: int = 2,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance, bucketed by 16-bit
-    sub-keys (pigeonhole: distance <= 3 implies at least one of the four
-    16-bit quarters is identical) — candidates shuffle on sub-key, never
-    all-pairs."""
+    """Near-dup pairs by SimHash Hamming distance, bucketed by
+    ``max_hamming + 1`` pigeonhole sub-keys (``simhash_block_layout``):
+    any pair within the distance bound shares at least one untouched
+    block, so candidates shuffle on sub-key — never all-pairs — with no
+    false negatives. The Hamming filter then removes bucket collisions,
+    making the result EXACT (identical to a brute-force all-pairs scan).
+    Note the recall/width trade-off: a larger ``max_hamming`` means more,
+    narrower blocks, hence bigger buckets and more candidates to verify."""
     base = (
         with_word_shingles(df, text_col, "_sh", shingle_n)
         .withColumn("_hashes", F.transform(F.col("_sh"), portable_hash60))
         .select(F.col(id_col).alias("_id"), simhash64_from_hashes(F.col("_hashes")).alias("_sim"))
     )
-    quarters = base.select(
+    layout = simhash_block_layout(max_hamming)
+    blocks = base.select(
         "_id",
         "_sim",
         F.explode(
@@ -362,15 +393,17 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(q).alias("q"),
-                        F.shiftright(F.col("_sim"), q * 16).bitwiseAND(F.lit(0xFFFF)).alias("k"),
+                        F.shiftright(F.col("_sim"), off)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("k"),
                     )
-                    for q in range(4)
+                    for q, (off, width) in enumerate(layout)
                 ]
             )
         ).alias("_q"),
     )
-    left = quarters.select(F.col("_id").alias("id_a"), F.col("_sim").alias("sim_a"), "_q")
-    right = quarters.select(F.col("_id").alias("id_b"), F.col("_sim").alias("sim_b"), "_q")
+    left = blocks.select(F.col("_id").alias("id_a"), F.col("_sim").alias("sim_a"), "_q")
+    right = blocks.select(F.col("_id").alias("id_b"), F.col("_sim").alias("sim_b"), "_q")
     return (
         left.join(right, ["_q"])
         .filter(F.col("id_a") < F.col("id_b"))

@@ -119,6 +119,47 @@ def test_simhash_pairs(neardup_docs):
     assert (0, 3) not in got
 
 
+def test_simhash_block_layout():
+    # k+1 blocks covering all 60 bits, contiguous, widths differ by <=1
+    for k in (0, 3, 6, 8, 15, 59):
+        layout = fuzzy.simhash_block_layout(k)
+        assert len(layout) == k + 1
+        assert sum(w for _, w in layout) == fuzzy.PORTABLE_BITS
+        assert layout[0][0] == 0
+        for (o1, w1), (o2, _) in zip(layout, layout[1:]):
+            assert o1 + w1 == o2
+        widths = {w for _, w in layout}
+        assert max(widths) - min(widths) <= 1
+    with pytest.raises(ValueError):
+        fuzzy.simhash_block_layout(60)
+    with pytest.raises(ValueError):
+        fuzzy.simhash_block_layout(-1)
+
+
+@pytest.mark.parametrize("max_hamming", [3, 6, 8])
+def test_simhash_pairs_equals_brute_force(neardup_docs, max_hamming):
+    """Pigeonhole recall: with max_hamming+1 blocks the bucketed operator
+    must return EXACTLY the brute-force all-pairs result — the 4-fixed-
+    quarter layout silently dropped distance-4..8 pairs (ADVICE r3)."""
+    sk = fuzzy.with_simhash(neardup_docs, "text", "sim", shingle_n=2)
+    a = sk.select(F.col("doc_id").alias("id_a"), F.col("sim").alias("sa"))
+    b = sk.select(F.col("doc_id").alias("id_b"), F.col("sim").alias("sb"))
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", fuzzy.hamming64(F.col("sa"), F.col("sb")))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    want = {(r["id_a"], r["id_b"], r["hamming"]) for r in brute.collect()}
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in fuzzy.simhash_pairs(
+            neardup_docs, "text", "doc_id", max_hamming=max_hamming
+        ).collect()
+    }
+    assert got == want
+
+
 def test_minhash_no_persist_leak(neardup_docs, spark):
     """Repeated LSH calls must not accumulate cached partitions (round-1
     leaked two persists per call; the groupBy-based candidate generation
