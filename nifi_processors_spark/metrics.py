@@ -37,6 +37,9 @@ METRICS_SCHEMA = T.StructType(
         # an epoch wholly below the tombstone-expiry watermark)
         T.StructField("skipped_stale", T.BooleanType()),
         T.StructField("tombstone_watermark", T.LongType()),
+        # commit_seq high-water mark across all epochs applied so far —
+        # lets a fresh process derive the tombstone-expiry watermark
+        T.StructField("max_commit_seq", T.LongType()),
         T.StructField(
             "partitions",
             T.ArrayType(
@@ -60,6 +63,23 @@ class MetricsLog:
     def append(self, rec: dict[str, Any]) -> None:
         key = rec.get("marker") or rec["epoch"]
         fsio.write_json_atomic(fsio.join(self.path, f"epoch_{key}.json"), rec)
+
+    def has(self, key) -> bool:
+        """Was a record ever written for this apply key? Records land
+        BEFORE the exactly-once marker, so they survive marker loss —
+        which makes this the corroborating evidence the staleness guard
+        uses to distinguish a replay from genuinely new data."""
+        return fsio.exists(fsio.join(self.path, f"epoch_{key}.json"))
+
+    def max_commit_seq(self) -> int | None:
+        """Highest recorded commit_seq high-water mark, or None if no
+        record carries one (pre-round-4 logs / no epochs applied)."""
+        vals = [
+            r["max_commit_seq"]
+            for r in self.records()
+            if r.get("max_commit_seq") is not None
+        ]
+        return max(vals) if vals else None
 
     def records(self) -> list[dict]:
         out = []

@@ -285,6 +285,24 @@ class ChangeApplier:
             ).first()
             if mm["hi"] is not None and mm["hi"] < wm:
                 key = epoch if marker is None else marker
+                # Corroborate the replay hypothesis before dropping the
+                # epoch: metrics are written BEFORE the marker, so a true
+                # marker-loss replay always left a metrics record for this
+                # key. An all-late epoch with NO such record was never
+                # applied — skipping it would silently discard new data,
+                # so refuse loudly like the partial-stale case (ADVICE r3).
+                if not self.metrics.has(key):
+                    raise RuntimeError(
+                        f"epoch {epoch}: every event is below the "
+                        f"tombstone-expiry watermark {wm} and no prior "
+                        f"metrics record exists for key {key!r} — this is "
+                        "genuinely new all-late data, not a marker-loss "
+                        "replay, and applying it could resurrect deleted "
+                        "rows. Raise tombstone_lateness above the stream's "
+                        "real disorder, or rebuild the table from the full "
+                        "changelog. (Appliers with collect_metrics=False "
+                        "cannot corroborate replays and always refuse.)"
+                    )
                 rec = {
                     "epoch": epoch, "marker": str(key),
                     "snapshot_id": snap0["snapshot_id"], "rows_in": 0,
@@ -294,6 +312,7 @@ class ChangeApplier:
                     "input_files": input_files, "rows_upserted": 0,
                     "rows_deleted": 0, "partitions": [],
                     "skipped_stale": True, "tombstone_watermark": wm,
+                    "max_commit_seq": self._max_commit_seq,
                 }
                 if self.collect_metrics:
                     self.metrics.append(rec)
@@ -489,6 +508,9 @@ class ChangeApplier:
             "partitions": [
                 {"bucket": int(r["_b"]), "rows": int(r["rows"])} for r in per_bucket
             ],
+            # persisted high-water mark: lets a fresh process derive the
+            # tombstone-expiry watermark in maintain() without replaying
+            "max_commit_seq": self._max_commit_seq,
         }
         if self.collect_metrics:
             self.metrics.append(rec)
@@ -502,12 +524,31 @@ class ChangeApplier:
         call ad hoc. Replay stays exactly-once: committed epochs are marker-
         skipped, so an expired tombstone can never be resurrected by them,
         and the lateness slack keeps every commit_seq a straggler could
-        still carry above the watermark."""
+        still carry above the watermark.
+
+        The expiry watermark derives from the commit_seq high-water mark:
+        in-process it's tracked by the apply loop; a FRESH process recovers
+        it from the metrics log (each record persists ``max_commit_seq``).
+        If neither source knows one, tombstone expiry RAISES instead of
+        silently no-opping (VERDICT r3) — pass an explicit watermark via
+        ``IceliteTable.expire_tombstones`` / ``cli maintain
+        --tombstone-watermark`` for tables without metrics."""
         t = self._table()
         out: dict = {}
         if t is None:
             return out
-        if tombstones and self._max_commit_seq is not None:
+        if tombstones:
+            if self._max_commit_seq is None:
+                self._max_commit_seq = self.metrics.max_commit_seq()
+            if self._max_commit_seq is None:
+                raise RuntimeError(
+                    "tombstone expiry needs a commit_seq high-water mark but "
+                    "none is known: no epoch was applied by this process and "
+                    "the metrics log records no max_commit_seq. Apply an "
+                    "epoch first, or expire with an explicit watermark "
+                    "(IceliteTable.expire_tombstones / cli maintain "
+                    "--tombstone-watermark)."
+                )
             wm = self._max_commit_seq - self.tombstone_lateness
             if wm > 0:
                 out["tombstone_watermark"] = wm

@@ -250,7 +250,15 @@ def load_json(path: str, default: Any = _RAISE) -> Any:
     """Read a pointer written by ``publish_json``. Remote: newest
     generation wins; a generation deleted between list and read means a
     newer one exists — retry. Falls back to the bare file (legacy layout /
-    local writes)."""
+    local writes).
+
+    ``default`` means "the pointer was never published", NOT "the pointer
+    is unreadable": when a generation (or bare file) is OBSERVED but every
+    read attempt fails — corrupt file, persistent IO error — the last read
+    error is re-raised instead of returning ``default``. Returning the
+    default there would silently reset live state (a schema registry
+    restarting at version 0 over real data); absence must be a clean
+    observation, never an error swallowed (ADVICE r3)."""
     if not is_remote(path):
         if os.path.exists(path):
             return json.loads(read_text(path))
@@ -258,19 +266,26 @@ def load_json(path: str, default: Any = _RAISE) -> Any:
             return default
         raise FileNotFoundError(path)
     parent, base = path.rsplit("/", 1)
+    last_err: Exception | None = None
     for _ in range(8):
         gens = _generations(parent, base)
         if gens:
             try:
                 return json.loads(read_text(join(parent, f"{base}.{gens[-1]}")))
-            except Exception:
-                continue  # swapped under us; a newer generation exists
+            except Exception as e:  # swapped under us OR corrupt — retry
+                last_err = e
+                continue
         try:
             if exists(path):
                 return json.loads(read_text(path))
-        except Exception:
+        except Exception as e:
+            last_err = e
             continue
-        break  # nothing published at all
+        break  # cleanly observed: nothing published at all
+    else:
+        # 8 straight failures while something was live the whole time:
+        # that's corruption or persistent IO trouble, not absence.
+        raise last_err
     if default is not _RAISE:
         return default
     raise FileNotFoundError(path)

@@ -112,6 +112,56 @@ def test_pointer_swap_never_missing_for_readers(spark, tmp_path):
     assert len(names) == 1
 
 
+def test_pointer_default_never_masks_live_pointer(spark, tmp_path):
+    """ADVICE r3: load_json(default=...) must mean 'never published', not
+    'unreadable'. A corrupt live generation has to raise — returning the
+    default would silently reset a schema registry / config tracker over
+    live data. Clean absence still returns the default."""
+    import threading
+
+    import pytest
+
+    root = f"file:{tmp_path}/corrupt"
+    fsio.makedirs(root)
+    ptr = fsio.join(root, "registry.json")
+    # clean absence -> default
+    assert fsio.load_json(ptr, default={"versions": []}) == {"versions": []}
+    # live but corrupt -> raises even with a default
+    fsio.publish_json(ptr, {"versions": [1]})
+    names = [n for n in fsio.listdir(root) if n.startswith("registry.json.")]
+    assert len(names) == 1
+    fsio._write_text(fsio.join(root, names[0]), "{not json")
+    with pytest.raises(Exception) as ei:
+        fsio.load_json(ptr, default={"versions": []})
+    assert not isinstance(ei.value, FileNotFoundError)
+    # hammer variant: under continuous swaps a defaulted reader must never
+    # observe the default while the pointer is live
+    fsio.publish_json(ptr, 0)
+    sentinel = object()
+    hits: list[object] = []
+    errors: list[str] = []
+    stop = threading.Event()
+
+    def reader():
+        while not stop.is_set():
+            try:
+                v = fsio.load_json(ptr, default=sentinel)
+                if v is sentinel:
+                    hits.append(v)
+            except Exception as e:
+                errors.append(repr(e))
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        for i in range(1, 80):
+            fsio.publish_json(ptr, i)
+    finally:
+        stop.set()
+        t.join()
+    assert hits == [] and errors == []
+
+
 def test_pointer_legacy_bare_file_migration(spark, tmp_path):
     """A pre-existing bare pointer file (legacy layout / a local-path table
     later accessed by URI) is read correctly and upgraded on next publish."""
