@@ -28,7 +28,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nifi_processors_spark.operators import fuzzy, similarity, text
+from nifi_processors_spark.operators import fuzzy, multimodal, similarity, text
 from nifi_processors_spark.operators.dedup import lww_dedup
 from nifi_processors_spark.operators.rules import evaluate, explode_details, route
 from nifi_processors_spark.operators.split import split_positional
@@ -404,6 +404,34 @@ def q_lsh_bucket_audit(spark, sf_dir):
     )
 
 
+def q_decode_image(spark, sf_dir):
+    """Encode->decode round trip over real bytes: synthetic_media writes
+    genuine BMPs distributed (mapInPandas), decode_image header-parses
+    them back (pure stdlib). The oracle recomputes the encoded dimensions
+    arithmetically from media_id — a hash match proves the byte round trip
+    is exact for every row."""
+    media = multimodal.synthetic_media(spark, 200, kind="image")
+    return multimodal.decode_image(media).select(
+        "media_id", "format",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("bpp").cast("long").alias("bpp"),
+    )
+
+
+def q_decode_audio(spark, sf_dir):
+    """Same round-trip contract for RIFF/WAV: PCM16 encode -> chunk-walk
+    decode; duration_ms is exact because n_samples = rate*ms//1000."""
+    media = multimodal.synthetic_media(spark, 200, kind="audio")
+    return multimodal.decode_audio(media).select(
+        "media_id",
+        F.col("channels").cast("long").alias("channels"),
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("bits_per_sample").cast("long").alias("bits_per_sample"),
+        "duration_ms",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: CDC LWW state of the sf0.001 event stream, annotated with
     rule routing — the declarative core of the apply pipeline."""
@@ -446,6 +474,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "ngram_jaccard": q_ngram_jaccard,
         "lsh_bucket_audit": q_lsh_bucket_audit,
+        "decode_image": q_decode_image,
+        "decode_audio": q_decode_audio,
         "ivf_topk_fullprobe": q_ivf_topk_fullprobe,
         # rows-only check: nprobe < n_cells is genuinely approximate (no
         # exact SQL analogue); its recall is asserted vs brute force in
@@ -764,4 +794,19 @@ def oracle_sql() -> dict[str, str]:
         "lsh_bucket_audit": _LSH_AUDIT_SQL,
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "embedding_neardup": _EMB_NEARDUP_SQL,
+        # decode round trips: the Spark side parses REAL encoded bytes
+        # (BMP / PCM16 WAV built in mapInPandas); the oracle recomputes
+        # what was encoded arithmetically from media_id — equality proves
+        # the encode->decode byte round trip exact on every row
+        "decode_image": """
+            SELECT r AS media_id, 'bmp' AS format,
+                   (r % 64 + 16)::BIGINT AS width,
+                   (r % 48 + 16)::BIGINT AS height,
+                   24::BIGINT AS bpp
+            FROM (SELECT unnest(range(0, 200)) AS r)""",
+        "decode_audio": """
+            SELECT r AS media_id, 1::BIGINT AS channels,
+                   16000::BIGINT AS sample_rate, 16::BIGINT AS bits_per_sample,
+                   ((16000 * (r % 9000 + 1000) // 1000) * 1000 // 16000)::BIGINT AS duration_ms
+            FROM (SELECT unnest(range(0, 200)) AS r)""",
     }

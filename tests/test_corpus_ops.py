@@ -280,11 +280,62 @@ def test_frame_sample_plan(spark):
         assert row["count"] == expect
 
 
-def test_decode_image_gated(spark):
-    media = multimodal.synthetic_media(spark, 1)
-    if not multimodal.HAVE_PIL:
-        with pytest.raises(NotImplementedError):
-            multimodal.decode_image(media)
+def test_decode_image_real_bmp(spark):
+    """synthetic_media now emits real BMPs; decode_image header-parses
+    them (pure stdlib, no PIL) and must recover the encoded dimensions."""
+    media = multimodal.synthetic_media(spark, 20, kind="image")
+    out = multimodal.decode_image(media).select(
+        "media_id", "format", "width", "height", "bpp", "decode_error",
+        F.col("meta.width").alias("mw"), F.col("meta.height").alias("mh"),
+    ).collect()
+    assert len(out) == 20
+    for r in out:
+        assert r["decode_error"] is None
+        assert r["format"] == "bmp" and r["bpp"] == 24
+        assert r["width"] == r["mw"] and r["height"] == r["mh"]
+
+
+def test_decode_image_png_and_errors(spark):
+    import struct as _struct
+    import zlib as _zlib
+
+    ihdr = _struct.pack(">II", 320, 200) + bytes([8, 6, 0, 0, 0])
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _struct.pack(">I", 13) + b"IHDR" + ihdr
+        + _struct.pack(">I", _zlib.crc32(b"IHDR" + ihdr))
+    )
+    rows = [(0, "image", bytearray(png)), (1, "image", bytearray(b"garbage-bytes-not-an-image-xx")),
+            (2, "image", None)]
+    df = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    got = {r["media_id"]: r for r in multimodal.decode_image(df).collect()}
+    assert got[0]["format"] == "png" and (got[0]["width"], got[0]["height"]) == (320, 200)
+    assert got[0]["bpp"] == 32 and got[0]["decode_error"] is None
+    assert got[1]["decode_error"] is not None and got[1]["width"] is None
+    assert got[2]["decode_error"] is not None
+
+
+def test_decode_audio_real_wav(spark):
+    media = multimodal.synthetic_media(spark, 12, kind="audio")
+    out = multimodal.decode_audio(media).select(
+        "media_id", "channels", "sample_rate", "bits_per_sample",
+        "duration_ms", "decode_error", F.col("meta.duration_ms").alias("md"),
+        F.col("meta.sample_rate").alias("msr"),
+    ).collect()
+    assert len(out) == 12
+    for r in out:
+        assert r["decode_error"] is None
+        assert r["channels"] == 1 and r["bits_per_sample"] == 16
+        assert r["sample_rate"] == r["msr"]
+        # n_samples = rate * duration_ms // 1000, so round-trip is exact
+        assert r["duration_ms"] == r["md"]
+    # non-WAV payloads surface an error, not an exception
+    bad = spark.createDataFrame(
+        [(99, "audio", bytearray(b"not riff data here"))],
+        "media_id long, kind string, payload binary",
+    )
+    r = multimodal.decode_audio(bad).collect()[0]
+    assert r["decode_error"] is not None and r["duration_ms"] is None
 
 
 def test_real_documents_pipeline(docs):
