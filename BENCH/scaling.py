@@ -27,6 +27,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORKER = """
 import json, os, sys, time
 sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
 from nifi_processors_spark.session import get_spark
 from nifi_processors_spark.operators.apply import ChangeApplier
 from nifi_processors_spark.sources.genlog import GenLogConfig, write_change_log
@@ -35,6 +36,7 @@ os.environ.setdefault("SPARK_DRIVER_MEM", "32g")
 mode = sys.argv[1]; cores = int(sys.argv[2]); changelog = sys.argv[3]; work = sys.argv[4]
 os.makedirs(work, exist_ok=True)
 n_events = int(sys.argv[5]); n_epochs = int(sys.argv[6])
+maintain_every = int(sys.argv[7]) if len(sys.argv) > 7 else 0
 spark = get_spark("scaling", cores=cores, extra_conf={{"spark.local.dir": f"{{work}}/sparktmp"}})
 blocks = int(os.environ.get("SPARK_GRAFT_CONTENT_BLOCKS", "30"))
 cfg = GenLogConfig(n_events=n_events, n_epochs=n_epochs, content_blocks_max=blocks,
@@ -61,9 +63,17 @@ def cpu_sample():
     return vals
 
 mode = os.environ.get("SPARK_GRAFT_MERGE_MODE", "cow")
+mk = {{}}
+if maintain_every > 0:
+    # cadenced maintenance under load: lateness must exceed genlog's real
+    # disorder (late events up to 3 epochs = 3 * epe/4 commits); one full
+    # epoch of commits (epe) leaves a comfortable margin
+    mk = dict(expire_snapshots_every=maintain_every, keep_snapshots=2,
+              expire_tombstones_every=maintain_every,
+              tombstone_lateness=max(n_events // n_epochs, 64))
 ap = ChangeApplier(spark, f"{{work}}/table", changelog, f"{{work}}/state",
                    n_buckets=64, merge_mode=mode,
-                   compact_every=None)
+                   compact_every=None, **mk)
 # STEADY-STATE measurement: a production table exists before the change
 # tail starts; the one-time bootstrap (schema-detection scan + table
 # creation) is not part of the change-events/sec metric. Pre-register the
@@ -79,17 +89,32 @@ d = [b - a for a, b in zip(c0, c1)]; tot = max(sum(d), 1)
 steal_pct = round(100.0 * d[7] / tot, 2)
 busy_pct = round(100.0 * (d[0] + d[1] + d[2]) / tot, 2)
 rows = ap.state().count()
+# order-insensitive distributed state fingerprint: sum of per-row 60-bit
+# content hashes — lets two runs (levels, or maintenance on/off) assert
+# identical final state without collecting a million rows to the driver
+fp = ap.state().select(
+    F.sum(
+        F.conv(
+            F.substring(
+                F.sha2(F.concat_ws("|", "repo", "path", F.sha2("content", 256)), 256),
+                1, 15,
+            ), 16, 10,
+        ).cast("decimal(38,0)")
+    ).alias("fp")
+).first()["fp"]
 print(json.dumps({{"cores": cores, "sec": round(sec, 2),
                    "events_per_sec": round(n_events / sec, 1), "final_rows": rows,
+                   "state_fp": str(fp), "maintain_every": maintain_every,
                    "steal_pct": steal_pct, "busy_pct": busy_pct}}))
 spark.stop()
 """
 
 
-def run_level(mode: str, cores: int, changelog: str, work: str, events: int, epochs: int) -> dict | None:
+def run_level(mode: str, cores: int, changelog: str, work: str, events: int, epochs: int,
+              maintain_every: int = 0) -> dict | None:
     out = subprocess.run(
         [sys.executable, "-c", WORKER.format(repo=REPO), mode, str(cores), changelog, work,
-         str(events), str(epochs)],
+         str(events), str(epochs), str(maintain_every)],
         capture_output=True, text=True, timeout=3600,
     )
     if out.returncode != 0:
@@ -110,6 +135,12 @@ def main() -> None:
                    "the hypervisor throttle hits high-core runs far more "
                    "often, so the clean-window hunt needs more 4N samples "
                    "(every wall is still reported)")
+    p.add_argument("--maintain-every", type=int, default=0,
+                   help="run snapshot+tombstone expiry every K applied "
+                   "epochs during the timed section (0 = off). The state "
+                   "fingerprint printed per run must match a maintenance-"
+                   "off run of the same config — maintenance must never "
+                   "change live state")
     args = p.parse_args()
 
     # RAM-backed workspace: the sandbox's virtual disk has wildly variable
@@ -129,14 +160,16 @@ def main() -> None:
         for t in range(args.trials):
             for cores in (args.n, args.n * 4):
                 r = run_level("run", cores, changelog,
-                              os.path.join(tmp, f"w{cores}_{t}"), args.events, args.epochs)
+                              os.path.join(tmp, f"w{cores}_{t}"), args.events, args.epochs,
+                              args.maintain_every)
                 shutil.rmtree(os.path.join(tmp, f"w{cores}_{t}"), ignore_errors=True)
                 print(json.dumps({"trial": t, **r}), flush=True)
                 trials[cores].append(r)
         for t in range(args.hi_extra):
             cores = args.n * 4
             r = run_level("run", cores, changelog,
-                          os.path.join(tmp, f"wx{cores}_{t}"), args.events, args.epochs)
+                          os.path.join(tmp, f"wx{cores}_{t}"), args.events, args.epochs,
+                          args.maintain_every)
             shutil.rmtree(os.path.join(tmp, f"wx{cores}_{t}"), ignore_errors=True)
             print(json.dumps({"trial": f"extra{t}", **r}), flush=True)
             trials[cores].append(r)
@@ -148,6 +181,7 @@ def main() -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
     assert lo["final_rows"] == hi["final_rows"], "parallelism changed the result!"
+    assert lo["state_fp"] == hi["state_fp"], "parallelism changed the state bytes!"
     speedup = hi["events_per_sec"] / lo["events_per_sec"]
     eff = speedup / 4
     rec = {
@@ -155,6 +189,7 @@ def main() -> None:
         "merge_mode": os.environ.get("SPARK_GRAFT_MERGE_MODE", "cow"),
         "events": args.events,
         "epochs": args.epochs,
+        "maintain_every": args.maintain_every,
         "low": lo,
         "high": hi,
         "speedup": round(speedup, 3),
@@ -165,10 +200,13 @@ def main() -> None:
 
     md = os.path.join(REPO, "BENCH", "BASELINE.md")
     with open(md, "a") as f:
+        maint = (f", maintenance every {args.maintain_every} epochs"
+                 if args.maintain_every else "")
         f.write(
             f"\n## Scaling run {rec['at']}\n\n"
-            f"Same job, same input ({args.events:,} events, {args.epochs} epochs, "
-            f"sha-verified identical final state {lo['final_rows']:,} rows):\n\n"
+            f"Same job, same input ({args.events:,} events, {args.epochs} epochs{maint}, "
+            f"sha-verified identical final state {lo['final_rows']:,} rows, "
+            f"state_fp {lo['state_fp']}):\n\n"
             f"| level | cores | wall (s) | events/s |\n|---|---|---|---|\n"
             f"| N | {lo['cores']} | {lo['sec']} | {lo['events_per_sec']:,} |\n"
             f"| 4N | {hi['cores']} | {hi['sec']} | {hi['events_per_sec']:,} |\n\n"
