@@ -68,6 +68,15 @@ CHECKS = {
     "lsh_bucket_audit": [
         ("one shuffle: map-side partial count before the exchange", r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate", "simple"),
     ],
+    "decode_image": [
+        ("Arrow-batched kernels only (MapInPandas, never row-at-a-time Python)", r"MapInPandas", "simple"),
+        ("no row-at-a-time Python eval", r"BatchEvalPython", "absent"),
+        ("single narrow stage (no exchange)", None, "exchange==0"),
+    ],
+    "decode_audio": [
+        ("Arrow-batched kernels only (MapInPandas, never row-at-a-time Python)", r"MapInPandas", "simple"),
+        ("single narrow stage (no exchange)", None, "exchange==0"),
+    ],
 }
 
 

@@ -172,27 +172,35 @@ def synthetic_media(spark, n: int, kind: str = "image") -> DataFrame:
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            pdf = pdf.copy()
             if kind == "image":
-                payload = [
+                pdf["payload"] = [
                     bmp_bytes(int(w), int(h), seed=int(i))
                     for i, w, h in zip(pdf["media_id"], pdf["width"], pdf["height"])
                 ]
             elif kind == "audio":
-                payload = [
+                pdf["payload"] = [
                     wav_bytes(int(sr), int(sr) * int(d) // 1000, seed=int(i))
                     for i, d, sr in zip(
                         pdf["media_id"], pdf["duration_ms"], pdf["sample_rate"]
                     )
                 ]
             else:  # video: opaque fake bytes (documented stub)
-                payload = [
+                pdf["payload"] = [
                     hashlib.sha512(f"media:{int(i)}".encode()).digest()
                     for i in pdf["media_id"]
                 ]
-            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payload})
+            yield pdf
 
-    blobs = base.mapInPandas(gen, "media_id long, payload binary")
-    return base.join(blobs, "media_id").select(
+    # payload generated IN the same stage as the dims (no join-back: a
+    # generator utility must stay one narrow mapInPandas stage, not pay a
+    # shuffle to reunite bytes with their own metadata)
+    with_payload = base.mapInPandas(
+        gen,
+        "media_id long, width int, height int, duration_ms long, "
+        "sample_rate int, payload binary",
+    )
+    return with_payload.select(
         "media_id",
         F.lit(kind).alias("kind"),
         "payload",
