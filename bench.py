@@ -104,6 +104,8 @@ def main() -> None:
         ChangeApplier(spark, f"{work}/warm_t", f"{work}/warm_cl", f"{work}/warm_s",
                       n_buckets=max(cpus * 2, 16)).run()
 
+        steady_rates: list[float] = []
+
         def one_trial(tag: str, mode: str) -> float:
             ap = ChangeApplier(
                 spark,
@@ -115,8 +117,18 @@ def main() -> None:
                 compact_every=n_epochs if mode == "mor" else None,
             )
             t0 = time.monotonic()
-            ap.run()
+            recs = ap.run()
             sec = time.monotonic() - t0
+            # steady-state rate from the SAME run's per-epoch metrics:
+            # epoch 0 pays the one-time bootstrap (schema detection + table
+            # creation) a production table never re-pays; epochs 1..n are
+            # the 100 TB-relevant number. Headline stays the full wall for
+            # round-to-round comparability.
+            if len(recs) > 1:
+                tail_rows = sum(r["rows_in"] for r in recs[1:])
+                tail_sec = sum(r["wall_ms"] for r in recs[1:]) / 1000.0
+                if tail_sec > 0:
+                    steady_rates.append(tail_rows / tail_sec)
             one_trial.rows = ap.state().count()
             shutil.rmtree(f"{work}/table_{tag}", ignore_errors=True)
             shutil.rmtree(f"{work}/state_{tag}", ignore_errors=True)
@@ -130,6 +142,21 @@ def main() -> None:
             mor_secs.append(one_trial(f"mor{t}", "mor"))
             assert one_trial.rows == rows_cow
             final_rows = rows_cow
+        # adaptive extras: a max/min spread ~1 means the window was clean
+        # and the minimum is trustworthy; a 2x+ spread is the hypervisor
+        # throttle signature (r03 recorded a 25% headline dip from exactly
+        # this), so buy up to SPARK_GRAFT_BENCH_EXTRA more draws per mode —
+        # clean windows pay nothing
+        extra = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA", "3"))
+        t = n_trials
+        while extra > 0 and (
+            max(cow_secs) / min(cow_secs) > 1.5 or max(mor_secs) / min(mor_secs) > 1.5
+        ):
+            cow_secs.append(one_trial(f"cow{t}", "cow"))
+            mor_secs.append(one_trial(f"mor{t}", "mor"))
+            assert one_trial.rows == final_rows
+            t += 1
+            extra -= 1
         apply_sec = min(cow_secs)
         mor_sec = min(mor_secs)
     finally:
@@ -148,6 +175,7 @@ def main() -> None:
         "cdc_epochs": n_epochs,
         "cdc_final_rows": final_rows,
         "mor_events_per_sec": round(n_events / mor_sec, 1),
+        "steady_state_events_per_sec": round(max(steady_rates), 1) if steady_rates else None,
         "apply_trials_sec": {"cow": [round(s, 2) for s in cow_secs],
                              "mor": [round(s, 2) for s in mor_secs]},
     }
