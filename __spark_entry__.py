@@ -28,7 +28,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nifi_processors_spark.operators import fuzzy, multimodal, similarity, text
+from nifi_processors_spark.operators import budget, fuzzy, multimodal, similarity, text
 from nifi_processors_spark.operators.dedup import lww_dedup
 from nifi_processors_spark.operators.rules import evaluate, explode_details, route
 from nifi_processors_spark.operators.split import split_positional
@@ -432,6 +432,36 @@ def q_decode_audio(spark, sf_dir):
     )
 
 
+_CURATION_BUDGET = 15_000  # BPE tokens (sf docs carry ~27k total)
+
+
+def q_corpus_curation(spark, sf_dir):
+    """End-to-end corpus curation — the composition a training-data
+    pipeline actually runs: exact dedup (keep min id per normalized
+    content) -> MinHash near-dup clusters, keep one representative per
+    cluster -> language filter (drop 'und') -> greedy token-budget
+    selection by (bpe_tokens desc, doc_id) using the DISTRIBUTED running
+    total (operators/budget.py — range-partitioned two-phase prefix sum,
+    never a single-partition global window)."""
+    docs = _t(spark, sf_dir, "documents")
+    survivors = fuzzy.exact_dedup_keep(docs, "text", "doc_id")
+    pairs = fuzzy.minhash_lsh_pairs(
+        survivors, "text", "doc_id", threshold=0.6, num_hashes=32, bands=16
+    )
+    clusters = fuzzy.connected_components(pairs)
+    dupes = clusters.filter(F.col("cluster_id") != F.col("doc_id")).select("doc_id")
+    kept = survivors.join(dupes, "doc_id", "left_anti")
+    feats = text.with_language_id(kept, "text", "lang_id").select(
+        "doc_id", "lang_id", text.bpe_token_count(F.col("text")).alias("bpe_tokens")
+    )
+    sel = feats.filter(F.col("lang_id") != "und")
+    out = budget.token_budget_select(
+        sel, "bpe_tokens", _CURATION_BUDGET,
+        [F.col("bpe_tokens").desc(), F.col("doc_id")],
+    )
+    return out.select("doc_id", "lang_id", "bpe_tokens", "cum_tokens")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: CDC LWW state of the sf0.001 event stream, annotated with
     rule routing — the declarative core of the apply pipeline."""
@@ -474,6 +504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "ngram_jaccard": q_ngram_jaccard,
         "lsh_bucket_audit": q_lsh_bucket_audit,
+        "corpus_curation": q_corpus_curation,
         "decode_image": q_decode_image,
         "decode_audio": q_decode_audio,
         "ivf_topk_fullprobe": q_ivf_topk_fullprobe,
@@ -523,13 +554,14 @@ def _portable60(expr: str) -> str:
     return f"('0x' || substring(sha256({expr}), 1, 15))::UBIGINT::BIGINT"
 
 
-def _shingle_cte(n: int) -> str:
+def _shingle_cte(n: int, src: str = "documents") -> str:
     """doc shingles CTE mirroring fuzzy.with_word_shingles: distinct word
     n-grams of whitespace-normalized text; out-of-range words drop out of
-    concat_ws exactly like Spark's null-skipping concat_ws."""
+    concat_ws exactly like Spark's null-skipping concat_ws. ``src`` lets
+    composition oracles (corpus_curation) shingle a filtered doc set."""
     gram = ", ".join(f"w[i+{j}]" for j in range(n))
     return f"""
-      words AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+      words AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM {src}),
       d AS (SELECT doc_id,
                    list_distinct(list_transform(range(1, greatest(len(w)-{n - 1}, 1)+1),
                                  i -> concat_ws(' ', {gram}))) AS sh
@@ -563,8 +595,10 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM sims a JOIN sims b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_MAX_HAMMING}"""
 
-_MINHASH_BAND_CTES = f"""{_shingle_cte(3)},
-sig AS (SELECT doc_id, sh,
+# sig/bands and candidate/verify tails chain from the `d` shingle CTE, so
+# they are source-agnostic — reused by the corpus_curation oracle over a
+# deduped doc subset
+_MINHASH_SIG_BANDS = f"""sig AS (SELECT doc_id, sh,
                list_transform(range(0, 32), k ->
                  list_min(list_transform(sh, s ->
                    ((2*k+1) * ({_portable60('s')} % {_P31}) + ((k*2654435761) % {_P31})) % {_P31}))) AS sig
@@ -572,8 +606,7 @@ sig AS (SELECT doc_id, sh,
 bands AS (SELECT doc_id, b, concat_ws('|', sig[2*b+1], sig[2*b+2]) AS h
           FROM sig CROSS JOIN (SELECT unnest(range(0, 16)) AS b) bs)"""
 
-_MINHASH_CTES = f"""{_MINHASH_BAND_CTES},
--- rk <= 256 mirrors minhash_lsh_pairs' degenerate-bucket cap
+_MINHASH_CAND_VERIFY = """-- rk <= 256 mirrors minhash_lsh_pairs' degenerate-bucket cap
 -- (slice of the SORTED in-bucket id list, fuzzy.py max_bucket_size)
 ranked AS (SELECT doc_id, b, h,
                   row_number() OVER (PARTITION BY b, h ORDER BY doc_id) AS rk
@@ -585,6 +618,12 @@ v AS (SELECT id_a, id_b,
              len(list_intersect(x.sh, y.sh))::DOUBLE
                / len(list_distinct(list_cat(x.sh, y.sh)))::DOUBLE AS jaccard
       FROM cand JOIN d x ON x.doc_id = cand.id_a JOIN d y ON y.doc_id = cand.id_b)"""
+
+_MINHASH_BAND_CTES = f"""{_shingle_cte(3)},
+{_MINHASH_SIG_BANDS}"""
+
+_MINHASH_CTES = f"""{_MINHASH_BAND_CTES},
+{_MINHASH_CAND_VERIFY}"""
 
 _MINHASH_SQL = f"WITH {_MINHASH_CTES}\nSELECT id_a, id_b, jaccard FROM v WHERE jaccard >= 0.6"
 
@@ -645,6 +684,41 @@ reach(n, r) AS (
   SELECT reach.n, e.dst FROM reach JOIN edges e ON reach.r = e.src
 )
 SELECT n AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY n"""
+
+# corpus curation: dedup -> near-dup cluster keep-one -> lang filter ->
+# greedy token budget. The cluster stage reuses the minhash CTE tails over
+# the deduped subset; the budget stage is a plain ordered running sum here
+# (DuckDB single node) vs Spark's distributed two-phase prefix sum — same
+# numbers, which is exactly what the hash check proves.
+_CURATION_SQL = f"""
+WITH RECURSIVE
+dedup_keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY {{norm}}),
+docs0 AS (SELECT dd.* FROM documents dd JOIN dedup_keep USING (doc_id)),
+{{shingles}},
+{{sig_bands}},
+{{cand_verify}},
+pairs AS (SELECT id_a, id_b FROM v WHERE jaccard >= 0.6),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT src AS n FROM edges),
+reach(n, r) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT reach.n, e.dst FROM reach JOIN edges e ON reach.r = e.src
+),
+dupes AS (SELECT n AS doc_id FROM reach GROUP BY n HAVING min(r) <> n),
+kept AS (SELECT d0.* FROM docs0 d0
+         WHERE doc_id NOT IN (SELECT doc_id FROM dupes)),
+feats AS (SELECT doc_id, {{lang_case}} AS lang_id,
+                 len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS bpe_tokens
+          FROM kept),
+sel AS (SELECT * FROM feats WHERE lang_id <> 'und'),
+cum AS (SELECT *, CAST(sum(bpe_tokens) OVER (ORDER BY bpe_tokens DESC, doc_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        FROM sel)
+SELECT doc_id, lang_id, bpe_tokens, cum_tokens FROM cum
+WHERE cum_tokens <= {_CURATION_BUDGET}"""
+
 
 _DETAIL_ROW = """
 SELECT event_id, 'g1' AS group_id,
@@ -792,6 +866,11 @@ def oracle_sql() -> dict[str, str]:
         "minhash_neardup": _MINHASH_SQL,
         "dup_clusters": _DUP_CLUSTERS_SQL,
         "lsh_bucket_audit": _LSH_AUDIT_SQL,
+        "corpus_curation": _CURATION_SQL.format(
+            norm=_NORM, shingles=_shingle_cte(3, "docs0"),
+            sig_bands=_MINHASH_SIG_BANDS, cand_verify=_MINHASH_CAND_VERIFY,
+            lang_case=_LANG_CASE,
+        ),
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "embedding_neardup": _EMB_NEARDUP_SQL,
         # decode round trips: the Spark side parses REAL encoded bytes
