@@ -68,6 +68,11 @@ CHECKS = {
     "lsh_bucket_audit": [
         ("one shuffle: map-side partial count before the exchange", r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate", "simple"),
     ],
+    "corpus_curation": [
+        ("never all-pairs (no cartesian product anywhere)", r"CartesianProduct", "absent"),
+        ("budget prefix sum never uses a partition-less window", r"Window \[(?![^\]]*_rt_pid)", "absent"),
+        ("dup anti-join broadcasts the small side", r"BroadcastHashJoin [^\n]*LeftAnti", "simple"),
+    ],
     "decode_image": [
         ("Arrow-batched kernels only (MapInPandas, never row-at-a-time Python)", r"MapInPandas", "simple"),
         ("no row-at-a-time Python eval", r"BatchEvalPython", "absent"),

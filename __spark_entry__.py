@@ -450,7 +450,10 @@ def q_corpus_curation(spark, sf_dir):
     )
     clusters = fuzzy.connected_components(pairs)
     dupes = clusters.filter(F.col("cluster_id") != F.col("doc_id")).select("doc_id")
-    kept = survivors.join(dupes, "doc_id", "left_anti")
+    # explicit broadcast: dupes comes out of the iterative clustering via
+    # localCheckpoint, so Catalyst has no stats to pick it on its own; the
+    # dup set is bounded by the near-dup pair count (small by construction)
+    kept = survivors.join(F.broadcast(dupes), "doc_id", "left_anti")
     feats = text.with_language_id(kept, "text", "lang_id").select(
         "doc_id", "lang_id", text.bpe_token_count(F.col("text")).alias("bpe_tokens")
     )
