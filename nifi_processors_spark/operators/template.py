@@ -78,27 +78,37 @@ def render_template(
 
 # ---------------- Velocity directive subset ----------------
 #
-# The reference's Velocity engine supports #set/#if/#foreach beyond simple
-# references (its shipped examples use only $name, README.md:49-66, so
-# this is surplus parity). The subset below compiles to PURE EXPRESSIONS:
-# #if -> F.when over the raw column's truthiness, #foreach -> F.transform
-# + array_join over an array column, #set -> driver-side literal binding.
-# Still one projection, no per-row template engine.
+# The reference's Velocity engine supports #set/#if/#foreach/#macro beyond
+# simple references (its shipped examples use only $name, README.md:49-66,
+# so this is surplus parity). The subset below compiles to PURE
+# EXPRESSIONS: #if -> F.when over the raw column's truthiness, #foreach ->
+# F.transform + array_join over an array column, #set -> driver-side
+# literal binding, #macro -> driver-side AST expansion at the call site
+# (recursion rejected). Still one projection, no per-row template engine.
+# Remaining boundary (documented): method calls ($obj.method()) and
+# #parse (file inclusion) are unsupported.
+
+_KEYWORDS = {"set", "if", "foreach", "else", "end", "macro"}
 
 _DIRECTIVE = re.compile(
     r"#set\s*\(\s*\$(\w+)\s*=\s*\"([^\"]*)\"\s*\)"            # 1: var, 2: literal
     r"|#if\s*\(\s*\$\{?(\w+)\}?\s*\)"                          # 3: cond ref
     r"|#foreach\s*\(\s*\$(\w+)\s+in\s+\$\{?(\w+)\}?\s*\)"      # 4: loop var, 5: list ref
+    r"|#macro\s*\(\s*(\w+)((?:\s+\$\w+)*)\s*\)"                # 6: name, 7: params
+    r"|#(\w+)\s*\(([^)]*)\)"                                   # 8: call name, 9: args
     r"|#else\b"
     r"|#end\b"
-    r"|\$\{(\w+)\}|\$(\w+)"                                    # 6/7: simple ref
+    r"|\$\{(\w+)\}|\$(\w+)"                                    # 10/11: simple ref
 )
+
+_MACRO_ARG = re.compile(r"\$\{?(\w+)\}?|\"([^\"]*)\"|(-?\d+)")
 
 
 def parse_velocity(template: str) -> list:
     """Template -> AST: ('text', s) | ('ref', name) |
     ('if', cond, body, else_body) | ('foreach', var, list, body) |
-    ('set', var, literal). Unbalanced #if/#foreach/#end raise."""
+    ('set', var, literal) | ('macro', name, params, body) |
+    ('call', name, args, raw). Unbalanced #if/#foreach/#macro/#end raise."""
     root: list = []
     stack: list[tuple[str, list]] = [("root", root)]
 
@@ -121,6 +131,23 @@ def parse_velocity(template: str) -> list:
             node = ["foreach", g[3], g[4], []]
             top().append(node)
             stack.append(("foreach", node[3]))
+        elif g[5] is not None:  # macro definition
+            params = re.findall(r"\$(\w+)", g[6] or "")
+            node = ["macro", g[5], params, []]
+            top().append(node)
+            stack.append(("macro", node[3]))
+        elif g[7] is not None:  # directive-call form #name(args)
+            if g[7] in _KEYWORDS:
+                raise ValueError(f"malformed #{g[7]} directive: {m.group(0)!r}")
+            args = []
+            for ref, slit, nlit in _MACRO_ARG.findall(g[8] or ""):
+                if ref:
+                    args.append(("ref", ref))
+                elif nlit:
+                    args.append(("lit", nlit))
+                else:
+                    args.append(("lit", slit))
+            top().append(("call", g[7], args, m.group(0)))
         elif m.group(0).startswith("#else"):
             if stack[-1][0] != "if":
                 raise ValueError("#else outside #if")
@@ -129,14 +156,14 @@ def parse_velocity(template: str) -> list:
             stack[-1] = ("if-else", node[3])
         elif m.group(0).startswith("#end"):
             if len(stack) == 1:
-                raise ValueError("#end without #if/#foreach")
+                raise ValueError("#end without #if/#foreach/#macro")
             stack.pop()
         else:  # simple ref
-            top().append(("ref", g[5] or g[6]))
+            top().append(("ref", g[9] or g[10]))
     if pos < len(template):
         top().append(("text", template[pos:]))
     if len(stack) != 1:
-        raise ValueError("unclosed #if/#foreach")
+        raise ValueError("unclosed #if/#foreach/#macro")
     return root
 
 
@@ -163,9 +190,11 @@ def render_velocity(
     null_as: str = "",
 ) -> DataFrame:
     """Render a template with the Velocity directive subset (#set literal,
-    #if/#else/#end, #foreach over an array column). Same reference
-    semantics as render_template for simple refs (filter, scrub,
-    unresolved -> literal placeholder)."""
+    #if/#else/#end, #foreach over an array column, #macro definition +
+    invocation — expanded driver-side at the call site, non-recursive).
+    Same reference semantics as render_template for simple refs (filter,
+    scrub, unresolved -> literal placeholder); an invocation of an
+    undefined macro renders as its literal text, Velocity's behavior."""
     allowed = set(df.columns)
     if attribute_filter is not None:
         rx = re.compile(attribute_filter)
@@ -196,6 +225,9 @@ def render_velocity(
 
         return f
 
+    macros: dict[str, tuple[list[str], list]] = {}
+    expanding: list[str] = []  # macro-call stack (recursion guard)
+
     def render(nodes: list, env: dict) -> Column:
         env = dict(env)
         parts: list[Column] = []
@@ -207,6 +239,29 @@ def render_velocity(
                 env[n[1]] = F.lit(n[2])
             elif kind == "ref":
                 parts.append(ref_str(n[1], env))
+            elif kind == "macro":
+                # driver-side definition; renders to nothing (define-before-
+                # use in document order, matching single-pass evaluation)
+                macros[n[1]] = (n[2], n[3])
+            elif kind == "call":
+                _, name, args, raw = n
+                if name not in macros:
+                    # Velocity renders an unknown directive as literal text
+                    parts.append(F.lit(raw))
+                    continue
+                if name in expanding:
+                    raise ValueError(f"recursive macro #{name} is unsupported")
+                params, body = macros[name]
+                e2 = dict(env)
+                for p, a in zip(params, args):
+                    e2[p] = F.lit(a[1]) if a[0] == "lit" else ref_str(a[1], env)
+                for p in params[len(args):]:  # missing args -> empty
+                    e2[p] = F.lit(null_as)
+                expanding.append(name)
+                try:
+                    parts.append(render(body, e2))
+                finally:
+                    expanding.pop()
             elif kind == "if":
                 parts.append(
                     F.when(_truthy(ref_raw(n[1], env)), render(n[2], env)).otherwise(

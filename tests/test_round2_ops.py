@@ -73,6 +73,39 @@ def test_velocity_matches_simple_renderer(spark):
     assert a == b == '{"name": "alice", "n": 7, "missing": $nope}'
 
 
+def test_velocity_macro(spark):
+    df = spark.createDataFrame([("py", "x.py"), (None, "y.md")], "lang string, path string")
+    t = (
+        '#macro(cell $v $tag)<$tag>$v</$tag>#end'
+        "#cell($path \"td\")#cell($lang \"em\")#cell(\"lit\" \"b\")"
+    )
+    out = {r["path"]: r["content"] for r in render_velocity(df, t).collect()}
+    # null ref renders as null_as ('') inside the macro, same as outside
+    assert out == {
+        "x.py": "<td>x.py</td><em>py</em><b>lit</b>",
+        "y.md": "<td>y.md</td><em></em><b>lit</b>",
+    }
+
+
+def test_velocity_macro_in_if_and_missing_args(spark):
+    df = spark.createDataFrame([(1, "a"), (2, None)], "id long, v string")
+    t = "#macro(wrap $x $y)[$x|$y]#end#if($v)#wrap($v)#else none#end"
+    out = {r["id"]: r["content"] for r in render_velocity(df, t).collect()}
+    assert out == {1: "[a|]", 2: " none"}
+
+
+def test_velocity_macro_unknown_and_recursive(spark):
+    df = spark.createDataFrame([(1,)], "id long")
+    # unknown directive-call renders as literal text (Velocity behavior)
+    assert render_velocity(df, "x#nope($id)y").first()["content"] == "x#nope($id)y"
+    with pytest.raises(ValueError, match="recursive"):
+        render_velocity(df, "#macro(a $x)#a($x)#end#a($id)").first()
+    with pytest.raises(ValueError):
+        parse_velocity("#macro(m $x) unclosed")
+    with pytest.raises(ValueError, match="malformed"):
+        parse_velocity("#set($a = 5)")  # non-string-literal #set
+
+
 def test_rule_config_tracker(tmp_path):
     import shutil
 
