@@ -28,7 +28,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nifi_processors_spark.operators import budget, fuzzy, multimodal, similarity, text
+from nifi_processors_spark.operators import (
+    budget, fuzzy, multimodal, profile, similarity, text,
+)
 from nifi_processors_spark.operators.dedup import lww_dedup
 from nifi_processors_spark.operators.rules import evaluate, explode_details, route
 from nifi_processors_spark.operators.split import split_positional
@@ -432,6 +434,17 @@ def q_decode_audio(spark, sf_dir):
     )
 
 
+def q_profile_events(spark, sf_dir):
+    """Per-column data-quality profile of the events table in ONE
+    aggregation pass (exact distinct here so the oracle can match
+    bit-for-bit; the default HLL mode is the 100 TB path and is
+    tolerance-tested in tests/test_profile.py)."""
+    ev = _t(spark, sf_dir, "events")
+    return profile.profile_table(
+        ev, columns=["user_id", "event_type", "props"], exact=True
+    )
+
+
 _CURATION_BUDGET = 15_000  # BPE tokens (sf docs carry ~27k total)
 
 
@@ -508,6 +521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "lsh_bucket_audit": q_lsh_bucket_audit,
         "corpus_curation": q_corpus_curation,
+        "profile_events": q_profile_events,
         "decode_image": q_decode_image,
         "decode_audio": q_decode_audio,
         "ivf_topk_fullprobe": q_ivf_topk_fullprobe,
@@ -876,6 +890,23 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "embedding_neardup": _EMB_NEARDUP_SQL,
+        "profile_events": """
+            SELECT 'user_id' AS col_name, count(*) AS n_rows,
+                   count(*) - count(user_id) AS n_nulls,
+                   count(DISTINCT user_id) AS n_distinct,
+                   CAST(min(user_id) AS VARCHAR) AS min_value,
+                   CAST(max(user_id) AS VARCHAR) AS max_value
+            FROM events
+            UNION ALL
+            SELECT 'event_type', count(*), count(*) - count(event_type),
+                   count(DISTINCT event_type),
+                   CAST(min(event_type) AS VARCHAR), CAST(max(event_type) AS VARCHAR)
+            FROM events
+            UNION ALL
+            SELECT 'props', count(*), count(*) - count(props),
+                   count(DISTINCT props),
+                   CAST(min(props) AS VARCHAR), CAST(max(props) AS VARCHAR)
+            FROM events""",
         # decode round trips: the Spark side parses REAL encoded bytes
         # (BMP / PCM16 WAV built in mapInPandas); the oracle recomputes
         # what was encoded arithmetically from media_id — equality proves

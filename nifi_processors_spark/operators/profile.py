@@ -1,0 +1,62 @@
+"""Table profiling — per-column data-quality stats in one distributed pass.
+
+A corpus pipeline audits its inputs before training: null rates,
+cardinalities, value ranges per column. This op computes them all in a
+SINGLE aggregation job (one scan, map-side partials) and unpivots the
+one-row result into one row per column — no per-column jobs, no driver
+loops.
+
+Cardinality defaults to ``approx_count_distinct`` (HyperLogLog): one
+mergeable sketch per column, the only sane choice at 100 TB. ``exact=True``
+switches to ``count_distinct`` — note Spark plans N distinct aggregates
+via an Expand (input amplified by the number of profiled columns), so
+exact mode is for small tables / oracle checks, not the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact: bool = False,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """One row per profiled column: (col_name, n_rows, n_nulls,
+    n_distinct, min_value, max_value) — min/max cast to string so every
+    column type fits one output schema. ``rsd`` is the HLL relative
+    standard deviation when ``exact`` is False."""
+    cols = columns or df.columns
+    aggs: list[Column] = [F.count(F.lit(1)).alias("_n_rows")]
+    for c in cols:
+        distinct = (
+            F.count_distinct(F.col(c)) if exact else F.approx_count_distinct(c, rsd)
+        )
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"_{c}__nulls"),
+            distinct.cast("long").alias(f"_{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"_{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"_{c}__max"),
+        ]
+    one = df.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"_{c}__nulls").alias("n_nulls"),
+                F.col(f"_{c}__distinct").alias("n_distinct"),
+                F.col(f"_{c}__min").alias("min_value"),
+                F.col(f"_{c}__max").alias("max_value"),
+            )
+            for c in cols
+        ]
+    )
+    return one.select(
+        F.explode(entries).alias("e"), F.col("_n_rows").alias("n_rows")
+    ).select(
+        "e.col_name", "n_rows", "e.n_nulls", "e.n_distinct",
+        "e.min_value", "e.max_value",
+    )
