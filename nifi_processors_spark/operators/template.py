@@ -137,17 +137,23 @@ def parse_velocity(template: str) -> list:
             top().append(node)
             stack.append(("macro", node[3]))
         elif g[7] is not None:  # directive-call form #name(args)
-            if g[7] in _KEYWORDS:
+            if g[7] == "parse":
+                inc = re.fullmatch(r"\s*\"([^\"]*)\"\s*", g[8] or "")
+                if inc is None:
+                    raise ValueError(f"#parse needs one string literal: {m.group(0)!r}")
+                top().append(("parse", inc.group(1), m.group(0)))
+            elif g[7] in _KEYWORDS:
                 raise ValueError(f"malformed #{g[7]} directive: {m.group(0)!r}")
-            args = []
-            for ref, slit, nlit in _MACRO_ARG.findall(g[8] or ""):
-                if ref:
-                    args.append(("ref", ref))
-                elif nlit:
-                    args.append(("lit", nlit))
-                else:
-                    args.append(("lit", slit))
-            top().append(("call", g[7], args, m.group(0)))
+            else:
+                args = []
+                for ref, slit, nlit in _MACRO_ARG.findall(g[8] or ""):
+                    if ref:
+                        args.append(("ref", ref))
+                    elif nlit:
+                        args.append(("lit", nlit))
+                    else:
+                        args.append(("lit", slit))
+                top().append(("call", g[7], args, m.group(0)))
         elif m.group(0).startswith("#else"):
             if stack[-1][0] != "if":
                 raise ValueError("#else outside #if")
@@ -188,13 +194,18 @@ def render_velocity(
     out_col: str = "content",
     attribute_filter: str | None = None,
     null_as: str = "",
+    includes: dict[str, str] | None = None,
 ) -> DataFrame:
     """Render a template with the Velocity directive subset (#set literal,
     #if/#else/#end, #foreach over an array column, #macro definition +
-    invocation — expanded driver-side at the call site, non-recursive).
-    Same reference semantics as render_template for simple refs (filter,
+    invocation — expanded driver-side at the call site, non-recursive,
+    and #parse("name") resolving against the ``includes`` dict of named
+    sub-templates — Velocity's resource loader, made explicit). Same
+    reference semantics as render_template for simple refs (filter,
     scrub, unresolved -> literal placeholder); an invocation of an
-    undefined macro renders as its literal text, Velocity's behavior."""
+    undefined macro renders as its literal text, Velocity's behavior; a
+    #parse of an unknown name raises (Velocity throws on a missing
+    resource). Remaining boundary: method calls ($obj.method())."""
     allowed = set(df.columns)
     if attribute_filter is not None:
         rx = re.compile(attribute_filter)
@@ -227,6 +238,9 @@ def render_velocity(
 
     macros: dict[str, tuple[list[str], list]] = {}
     expanding: list[str] = []  # macro-call stack (recursion guard)
+    includes = includes or {}
+    inc_asts: dict[str, list] = {}  # parse each include once
+    including: list[str] = []  # include stack (cycle guard)
 
     def render(nodes: list, env: dict) -> Column:
         env = dict(env)
@@ -243,6 +257,21 @@ def render_velocity(
                 # driver-side definition; renders to nothing (define-before-
                 # use in document order, matching single-pass evaluation)
                 macros[n[1]] = (n[2], n[3])
+            elif kind == "parse":
+                _, inc_name, raw = n
+                if inc_name not in includes:
+                    raise ValueError(f"#parse: unknown include {inc_name!r}")
+                if inc_name in including:
+                    raise ValueError(f"#parse cycle through {inc_name!r}")
+                if inc_name not in inc_asts:
+                    inc_asts[inc_name] = parse_velocity(includes[inc_name])
+                including.append(inc_name)
+                try:
+                    # same env + macro registry: an include sees (and may
+                    # define) macros, exactly like Velocity's #parse
+                    parts.append(render(inc_asts[inc_name], env))
+                finally:
+                    including.pop()
             elif kind == "call":
                 _, name, args, raw = n
                 if name not in macros:

@@ -106,6 +106,23 @@ def test_velocity_macro_unknown_and_recursive(spark):
         parse_velocity("#set($a = 5)")  # non-string-literal #set
 
 
+def test_velocity_parse_includes(spark):
+    df = spark.createDataFrame([("alice", "py")], "name string, lang string")
+    includes = {
+        "header": "== $name ==\n",
+        "body": '#macro(kv $k $v)$k=$v;#end#kv("lang" $lang)',
+    }
+    t = '#parse("header")#parse("body")done'
+    out = render_velocity(df, t, includes=includes).first()["content"]
+    assert out == "== alice ==\nlang=py;done"
+    with pytest.raises(ValueError, match="unknown include"):
+        render_velocity(df, '#parse("missing")', includes=includes).first()
+    with pytest.raises(ValueError, match="cycle"):
+        render_velocity(df, '#parse("a")', includes={"a": '#parse("a")'}).first()
+    with pytest.raises(ValueError, match="string literal"):
+        parse_velocity("#parse($name)")
+
+
 def test_rule_config_tracker(tmp_path):
     import shutil
 
