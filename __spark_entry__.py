@@ -434,6 +434,21 @@ def q_decode_audio(spark, sf_dir):
     )
 
 
+def q_windowed_counts(spark, sf_dir):
+    """Tumbling event-time windows (1 h) per event_type with a sum —
+    the batch run of the SAME plan the streaming front-end uses
+    (streaming/windows.py; watermark is a no-op in batch)."""
+    from nifi_processors_spark.streaming.windows import windowed_counts
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"
+    )
+    return windowed_counts(
+        ev, "ts", keys=["event_type"], window="1 hour",
+        aggs=[F.round(F.sum("value"), 2).alias("sum_value")],
+    )
+
+
 def q_profile_events(spark, sf_dir):
     """Per-column data-quality profile of the events table in ONE
     aggregation pass (exact distinct here so the oracle can match
@@ -521,6 +536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "lsh_bucket_audit": q_lsh_bucket_audit,
         "corpus_curation": q_corpus_curation,
+        "windowed_counts": q_windowed_counts,
         "profile_events": q_profile_events,
         "decode_image": q_decode_image,
         "decode_audio": q_decode_audio,
@@ -890,6 +906,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "embedding_neardup": _EMB_NEARDUP_SQL,
+        "windowed_counts": """
+            SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start_us,
+                   epoch_us(time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour') AS window_end_us,
+                   event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM events
+            GROUP BY 1, 2, 3""",
         "profile_events": """
             SELECT 'user_id' AS col_name, count(*) AS n_rows,
                    count(*) - count(user_id) AS n_nulls,
