@@ -449,6 +449,19 @@ def q_windowed_counts(spark, sf_dir):
     )
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII masking over documents (emails -> <EMAIL>, IPv4 -> <IP>, long
+    digit runs -> <NUMBER>) + per-tag audit counts — chained JVM
+    regexp_replace, ERE-portable so DuckDB applies identical rewrites."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = text.pii_counts(F.col("text"))
+    return docs.select(
+        "doc_id",
+        text.scrub_pii(F.col("text")).alias("scrubbed"),
+        *[c.alias(f"n_{tag}") for tag, c in counts.items()],
+    )
+
+
 def q_profile_events(spark, sf_dir):
     """Per-column data-quality profile of the events table in ONE
     aggregation pass (exact distinct here so the oracle can match
@@ -537,6 +550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_bucket_audit": q_lsh_bucket_audit,
         "corpus_curation": q_corpus_curation,
         "windowed_counts": q_windowed_counts,
+        "pii_scrub": q_pii_scrub,
         "profile_events": q_profile_events,
         "decode_image": q_decode_image,
         "decode_audio": q_decode_audio,
@@ -753,6 +767,27 @@ SELECT doc_id, lang_id, bpe_tokens, cum_tokens FROM cum
 WHERE cum_tokens <= {_CURATION_BUDGET}"""
 
 
+def _pii_sql() -> str:
+    """PII oracle generated from the SAME text.PII_PATTERNS list: a CTE
+    per pattern applies regexp_replace(..., 'g') and counts matches on
+    the progressively scrubbed text, mirroring pii_counts' order."""
+    ctes = ["s0 AS (SELECT doc_id, text AS t FROM documents)"]
+    carry: list[str] = []
+    for i, (tag, pat, repl) in enumerate(text.PII_PATTERNS, 1):
+        lit = pat.replace("'", "''")
+        cols = carry + [f"len(regexp_extract_all(t, '{lit}'))::BIGINT AS n_{tag}"]
+        ctes.append(
+            f"s{i} AS (SELECT doc_id, {', '.join(cols)}, "
+            f"regexp_replace(t, '{lit}', '{repl}', 'g') AS t FROM s{i - 1})"
+        )
+        carry.append(f"n_{tag}")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT doc_id, t AS scrubbed, {', '.join(carry)} "
+        + f"FROM s{len(text.PII_PATTERNS)}"
+    )
+
+
 _DETAIL_ROW = """
 SELECT event_id, 'g1' AS group_id,
        CASE WHEN {cond} THEN 0 ELSE 1 END AS group_failed,
@@ -906,6 +941,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "embedding_neardup": _EMB_NEARDUP_SQL,
+        "pii_scrub": _pii_sql(),
         "windowed_counts": """
             SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start_us,
                    epoch_us(time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour') AS window_end_us,

@@ -165,3 +165,42 @@ def rolling_prefix_hashes(c: Column, window: int = 64, step: int = 32, max_chunk
         ),
         lambda h: h.isNotNull(),
     )
+
+
+# ---------------- PII scrubbing ----------------
+#
+# Corpus-prep redaction: mask the common machine-matchable identifiers
+# before training. Pure chained regexp_replace — one JVM projection, no
+# UDF — and the patterns are ERE-portable so a DuckDB oracle applies the
+# identical rewrites (driver query pii_scrub). This is pattern-level
+# scrubbing (emails, IPv4s, long digit runs like phones/SSNs/cards), not
+# NER — names and addresses need a model and are out of scope here.
+
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    # (tag, regex, replacement) — applied in order; order matters (emails
+    # before digit runs so user.99@x.com does not half-mask)
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("digits", r"\b\d[\d \-]{6,}\d\b", "<NUMBER>"),  # phones/SSNs/cards
+]
+
+
+def scrub_pii(c: Column) -> Column:
+    """Mask emails, IPv4 addresses and long digit runs (phone/SSN/card
+    shaped) with typed placeholder tokens."""
+    out = c
+    for _tag, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_counts(c: Column) -> dict[str, Column]:
+    """Per-tag match counts (for auditing how much a corpus was masked).
+    Counted on the PROGRESSIVELY scrubbed text, mirroring scrub_pii's
+    order, so an email's digits are not double-counted as a number."""
+    out: dict[str, Column] = {}
+    cur = c
+    for tag, pat, repl in PII_PATTERNS:
+        out[tag] = F.regexp_count(cur, F.lit(pat)).cast("long")
+        cur = F.regexp_replace(cur, pat, repl)
+    return out

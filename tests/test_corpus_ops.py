@@ -352,3 +352,26 @@ def test_real_documents_pipeline(docs):
     assert len(rows) == docs.count()
     assert all(r["bpe_tokens"] >= r["ws_tokens"] for r in rows if r["ws_tokens"] > 0)
     assert all(0 <= r["quality"] <= 1 for r in rows)
+
+
+def test_pii_scrub(spark):
+    rows = [
+        (0, "contact user.99+x@example.co.uk or 192.168.0.1 now"),
+        (1, "call 555-123-4567 or +1 800 555 0199, card 4111 1111 1111 1111"),
+        (2, "clean text with number 42 and version 1.2.3"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["s"], r["n_email"], r["n_ipv4"], r["n_digits"])
+        for r in df.select(
+            "doc_id", text.scrub_pii(F.col("text")).alias("s"),
+            *[c.alias(f"n_{t}") for t, c in text.pii_counts(F.col("text")).items()],
+        ).collect()
+    }
+    assert got[0] == ("contact <EMAIL> or <IP> now", 1, 1, 0)
+    # the digit-run pattern consumes "1 800 555 0199" whole (leading
+    # country digit included) — masking more is the right failure mode
+    assert got[1][0] == "call <NUMBER> or +<NUMBER>, card <NUMBER>"
+    assert got[1][1:] == (0, 0, 3)
+    # short numbers and dotted versions survive
+    assert got[2] == ("clean text with number 42 and version 1.2.3", 0, 0, 0)
