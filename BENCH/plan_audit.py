@@ -73,6 +73,20 @@ CHECKS = {
         ("budget prefix sum never uses a partition-less window", r"Window \[(?![^\]]*_rt_pid)", "absent"),
         ("dup anti-join broadcasts the small side", r"BroadcastHashJoin [^\n]*LeftAnti", "simple"),
     ],
+    "windowed_counts": [
+        ("map-side partial aggregation before the exchange", r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate", "simple"),
+        ("single exchange on (window, key)", None, "exchange==1"),
+    ],
+    "pii_scrub": [
+        ("single narrow stage (no exchange)", None, "exchange==0"),
+        ("no row-at-a-time Python eval", r"BatchEvalPython", "absent"),
+    ],
+    "profile_events": [
+        ("scan pruned to the profiled columns only", r"ReadSchema: struct<user_id:bigint,event_type:string,props:string>", "formatted"),
+        # exact=True pays a multi-distinct Expand by design (oracle query);
+        # the HLL default is Expand-free — asserted in tests/test_profile.py
+        ("partial aggregation below the exchange", r"partial_", "simple"),
+    ],
     "decode_image": [
         ("Arrow-batched kernels only (MapInPandas, never row-at-a-time Python)", r"MapInPandas", "simple"),
         ("no row-at-a-time Python eval", r"BatchEvalPython", "absent"),
