@@ -65,6 +65,11 @@ def main(argv: list[str] | None = None) -> int:
                         help="drop delete tombstones below this commit_seq "
                         "(omit to only expire snapshots)")
 
+    rb_cmd = sub.add_parser("rebucket", help="change the table's bucket count "
+                            "(one clustered rewrite; apply loop picks it up)")
+    rb_cmd.add_argument("--table", required=True)
+    rb_cmd.add_argument("--buckets", type=int, required=True)
+
     gen_cmd = sub.add_parser("generate", help="write a deterministic synthetic changelog")
     gen_cmd.add_argument("--out", required=True)
     gen_cmd.add_argument("--events", type=int, default=100_000)
@@ -79,6 +84,15 @@ def main(argv: list[str] | None = None) -> int:
 
     args = p.parse_args(argv)
     spark = get_spark("nifi_processors_spark.cli")
+
+    if args.cmd == "rebucket":
+        from .plans.table import IceliteTable
+
+        t = IceliteTable(spark, args.table)
+        before = t.snapshot()["n_buckets"]
+        sid = t.rebucket(args.buckets)
+        print(json.dumps({"snapshot_id": sid, "from": before, "to": args.buckets}))
+        return 0
 
     if args.cmd == "generate":
         cfg = GenLogConfig(n_events=args.events, n_epochs=args.epochs,

@@ -597,15 +597,41 @@ class IceliteTable:
             extra_meta={"tombstone_watermark": wm},
         )
 
+    def rebucket(self, n_buckets: int, lineage: dict | None = None) -> int:
+        """Change the bucket count with ONE clustered full rewrite — the
+        resize path when a table outgrows (or over-provisioned) its bucket
+        layout; at 100 TB the bucket count is a capacity knob, not a
+        birth-time constant. Tombstones and every system column survive
+        (the rewrite reads ``include_deleted=True``, resolving any MOR
+        deltas on the way), and time travel still works: each snapshot
+        records its own ``n_buckets``, so pre-rebucket reads resolve with
+        the old layout. The apply loop picks the new count up from the
+        snapshot on its next epoch — no applier restart needed."""
+        snap = self.snapshot()
+        if n_buckets == snap["n_buckets"]:
+            return snap["snapshot_id"]
+        if n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+        full = self.read(include_deleted=True)
+        return self.overwrite(
+            full,
+            lineage=lineage or {
+                "op": "rebucket", "from": snap["n_buckets"], "to": n_buckets
+            },
+            n_buckets=n_buckets,
+        )
+
     def overwrite(self, df: DataFrame, lineage: dict | None = None,
-                  extra_meta: dict | None = None) -> int:
-        """Full rewrite (bootstrap/backfill path). df: data cols + SYS_COLS."""
+                  extra_meta: dict | None = None, n_buckets: int | None = None) -> int:
+        """Full rewrite (bootstrap/backfill/rebucket path). df: data cols +
+        SYS_COLS. ``n_buckets`` overrides the bucket count for this and
+        all FUTURE snapshots (used by ``rebucket``)."""
         if "_deleted" not in df.columns:
             df = df.withColumn("_deleted", F.lit(False))
         if "_delta_seq" not in df.columns:
             df = df.withColumn("_delta_seq", F.lit(0).cast("long"))
         snap = self.snapshot()
-        key, nb = snap["key"], snap["n_buckets"]
+        key, nb = snap["key"], n_buckets or snap["n_buckets"]
         data_cols = self.field_names(snap)
         new_sid = snap["snapshot_id"] + 1
         out_dir = fsio.join(self.data_dir, f"snap{new_sid}")
@@ -636,6 +662,7 @@ class IceliteTable:
             {
                 "snapshot_id": new_sid,
                 "parent": snap["snapshot_id"],
+                "n_buckets": nb,
                 "buckets": new_buckets,
                 "lineage": lineage or {"op": "overwrite"},
             }
