@@ -91,7 +91,10 @@ def main() -> None:
     # best-of-N trials per merge mode — contention only ever slows a run
     # down, so the per-mode minimum approximates the clean-machine number.
     n_epochs = 4
-    n_trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2"))
+    # 3 base draws per mode (plus adaptive extras below): on this host a
+    # bad window shows 2-6x wall swings between identical runs, and the
+    # per-mode minimum needs enough draws to land in a clean stretch
+    n_trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
     try:
         cfg = GenLogConfig(
             n_events=n_events, n_epochs=n_epochs, content_blocks_max=8,
