@@ -3,13 +3,15 @@
 entry(spark)  -> flagship CDC LWW-state query on sf0.001.
 queries()     -> one callable per implemented operator (SURVEY.md §2 +
                  training-data ops), (spark, sf_dir) -> DataFrame.
-                 32 queries; 31 carry DuckDB oracles.
+                 len(queries()) entries; all but ONE carry DuckDB oracles
+                 (len(oracle_sql()) == len(queries()) - 1; asserted in
+                 tests/test_driver_contract.py).
 oracle_sql()  -> DuckDB-equivalent SQL per query (same column aliases).
                  The ONLY rows-only query is ivf_topk (nprobe < n_cells
-                 is genuinely approximate; its exact full-probe twin
-                 ivf_topk_fullprobe IS oracled, and the sketch ops use
-                 sha256-derived hashing so DuckDB reproduces signatures
-                 bit-for-bit).
+                 is genuinely approximate; its exact full-probe twins
+                 ivf_topk_fullprobe and ivf_topk_indexed_fullprobe ARE
+                 oracled, and the sketch ops use sha256-derived hashing
+                 so DuckDB reproduces signatures bit-for-bit).
 
 CDC semantics used on the driver's `events` table (a generic change
 stream): key = user_id, LWW order = (ts, event_id), delete = the key's
@@ -434,6 +436,95 @@ def q_decode_audio(spark, sf_dir):
     )
 
 
+def q_decode_png(spark, sf_dir):
+    """Full PNG pixel decode, pure stdlib (round 5): chunk walk with CRC
+    verification, IDAT zlib inflate, per-scanline unfilter of ALL FIVE
+    filter types (the encoder cycles them). Pixels are closed-form in
+    (media_id, x, y, channel), so the oracle recomputes the decoded pixel
+    mean arithmetically — a hash match proves the entire compressed round
+    trip (filter -> deflate -> inflate -> unfilter) exact on every row."""
+    media = multimodal.synthetic_media(spark, 96, kind="png", pattern="arith")
+    return multimodal.decode_image(media).select(
+        "media_id", "format",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("bpp").cast("long").alias("bpp"),
+        "px_mean", "crc_ok",
+    )
+
+
+def q_image_features(spark, sf_dir):
+    """REAL image features from decoded BMP pixels (round 5): per-channel
+    means + row moment, exact-integer sums under IEEE divisions, so the
+    arithmetic oracle matches bit-for-bit. The row moment is position-
+    weighted: a decoder that ignored BMP's bottom-up row order or BGR
+    byte order would produce different numbers."""
+    media = multimodal.synthetic_media(spark, 64, kind="image", pattern="arith")
+    feat = multimodal.extract_features(media, dim=4)
+    return feat.select(
+        "media_id",
+        F.col("features")[0].alias("mean_r"),
+        F.col("features")[1].alias("mean_g"),
+        F.col("features")[2].alias("mean_b"),
+        F.col("features")[3].alias("y_moment"),
+    )
+
+
+def q_audio_features(spark, sf_dir):
+    """REAL audio features from decoded PCM16 samples (round 5): RMS,
+    zero-crossing rate, mean, peak — same exact-arithmetic contract as
+    image_features."""
+    media = multimodal.synthetic_media(spark, 12, kind="audio", pattern="arith")
+    feat = multimodal.extract_features(media, dim=4)
+    return feat.select(
+        "media_id",
+        F.col("features")[0].alias("rms"),
+        F.col("features")[1].alias("zcr"),
+        F.col("features")[2].alias("mean_s"),
+        F.col("features")[3].alias("peak"),
+    )
+
+
+def q_ivf_topk_indexed_fullprobe(spark, sf_dir):
+    """The persisted-index ANN path — the stated 100 TB path: build the
+    cell-partitioned parquet index (assignment is a pure projection, zero
+    corpus shuffle; similarity.build_ivf_index), then probe EVERY cell
+    (nprobe == n_cells, exact) so the brute-force oracle applies. The
+    pruned-probe variant (PartitionFilters on nprobe cell directories) is
+    covered by the recall test and the PLANS.md section."""
+    import tempfile
+
+    em = _t(spark, sf_dir, "embeddings")
+    vecs = em.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    queries_df = vecs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    path = tempfile.mkdtemp(prefix="ivf_index_")
+    similarity.build_ivf_index(vecs, path, n_cells=8)
+    out = similarity.ivf_topk_indexed(spark, path, queries_df, k=3, nprobe=8)
+    return out.select("query_id", "vec_id", "rank")
+
+
+def q_velocity_methods(spark, sf_dir):
+    """Velocity $ref.method() subset (round 5): java.lang.String calls
+    compiled to the matching built-ins; an unknown method renders as its
+    literal reference text (quiet-reference rule); also pins `#else`
+    followed by literal parenthesized text (the structural keywords are
+    excluded from the directive-call regex)."""
+    from nifi_processors_spark.operators.template import render_velocity
+
+    cu = _t(spark, sf_dir, "customer")
+    tmpl = (
+        'ID=$c_custkey up=$c_name.toUpperCase() sub=$c_name.substring(0,8) '
+        'rep=$c_name.replace("Customer","Cust") len=$c_name.length() '
+        'low=$c_mktsegment.toLowerCase() raw=$c_name.cryptic() '
+        '#if($c_name)ok#else (none)#end'
+    )
+    return render_velocity(cu, tmpl, out_col="content").select("c_custkey", "content")
+
+
 def q_windowed_counts(spark, sf_dir):
     """Tumbling event-time windows (1 h) per event_type with a sum —
     the batch run of the SAME plan the streaming front-end uses
@@ -554,7 +645,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_events": q_profile_events,
         "decode_image": q_decode_image,
         "decode_audio": q_decode_audio,
+        "decode_png": q_decode_png,
+        "image_features": q_image_features,
+        "audio_features": q_audio_features,
+        "velocity_methods": q_velocity_methods,
         "ivf_topk_fullprobe": q_ivf_topk_fullprobe,
+        "ivf_topk_indexed_fullprobe": q_ivf_topk_indexed_fullprobe,
         # rows-only check: nprobe < n_cells is genuinely approximate (no
         # exact SQL analogue); its recall is asserted vs brute force in
         # tests/test_corpus_ops.py, and the fullprobe variant above
@@ -800,6 +896,32 @@ FROM events
 """
 
 
+_IVF_FULLPROBE_SQL = """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings WHERE vec_id < 5),
+         scored AS (
+           SELECT q.query_id, e.vec_id,
+                  list_cosine_similarity(e.embedding::DOUBLE[], q.query_vec::DOUBLE[]) AS cos
+           FROM embeddings e CROSS JOIN q),
+         ranked AS (
+           SELECT query_id, vec_id,
+                  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+           FROM scored)
+    SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 3"""
+
+
+def _arith_px_cte(n: int) -> str:
+    """Pixel CTE mirroring multimodal.arith_px over the synthetic dims
+    (w = id%64+16, h = id%48+16): one row per (image, x, y, channel)."""
+    return f"""
+    WITH m AS (SELECT unnest(range(0, {n})) AS id),
+         dims AS (SELECT id, (id % 64 + 16) AS w, (id % 48 + 16) AS h FROM m),
+         px AS (SELECT id, w, h, x, y, c, (id + 3*x + 7*y + 11*c) % 256 AS v
+                FROM dims,
+                     LATERAL (SELECT unnest(range(0, w)) AS x),
+                     LATERAL (SELECT unnest(range(0, h)) AS y),
+                     LATERAL (SELECT unnest(range(0, 3)) AS c))"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "lww_dedup_events": _LWW_CTE
@@ -918,17 +1040,10 @@ def oracle_sql() -> dict[str, str]:
                           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
                    FROM scored)
             SELECT query_id, vec_id, rank, round(cos, 3) AS cosine FROM ranked WHERE rank <= 3""",
-        "ivf_topk_fullprobe": """
-            WITH q AS (SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings WHERE vec_id < 5),
-                 scored AS (
-                   SELECT q.query_id, e.vec_id,
-                          list_cosine_similarity(e.embedding::DOUBLE[], q.query_vec::DOUBLE[]) AS cos
-                   FROM embeddings e CROSS JOIN q),
-                 ranked AS (
-                   SELECT query_id, vec_id,
-                          row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
-                   FROM scored)
-            SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 3""",
+        "ivf_topk_fullprobe": _IVF_FULLPROBE_SQL,
+        # the persisted-index path probes every cell too (nprobe==n_cells)
+        # -> exact, same brute-force ground truth applies
+        "ivf_topk_indexed_fullprobe": _IVF_FULLPROBE_SQL,
         "simhash_sketch": _SIMHASH_SQL,
         "simhash_pairs": _SIMHASH_PAIRS_SQL,
         "minhash_neardup": _MINHASH_SQL,
@@ -980,4 +1095,45 @@ def oracle_sql() -> dict[str, str]:
                    16000::BIGINT AS sample_rate, 16::BIGINT AS bits_per_sample,
                    ((16000 * (r % 9000 + 1000) // 1000) * 1000 // 16000)::BIGINT AS duration_ms
             FROM (SELECT unnest(range(0, 200)) AS r)""",
+        # pixel/sample-level round trips: the Spark side DECODES real
+        # compressed/encoded bytes; the oracle recomputes the decoded
+        # statistics from the closed-form arith_px / arith_sample values.
+        # All divisions are IEEE-exact over exact integer sums on both
+        # sides, so the hashes match bit-for-bit.
+        "decode_png": _arith_px_cte(96) + """
+            SELECT id AS media_id, 'png' AS format, w::BIGINT AS width,
+                   h::BIGINT AS height, 24::BIGINT AS bpp,
+                   sum(v)::DOUBLE / (w*h*3) AS px_mean, true AS crc_ok
+            FROM px GROUP BY id, w, h""",
+        "image_features": _arith_px_cte(64) + """
+            SELECT id AS media_id,
+                   sum(CASE WHEN c=0 THEN v END)::DOUBLE / (w*h) AS mean_r,
+                   sum(CASE WHEN c=1 THEN v END)::DOUBLE / (w*h) AS mean_g,
+                   sum(CASE WHEN c=2 THEN v END)::DOUBLE / (w*h) AS mean_b,
+                   sum(v*y)::DOUBLE / sum(v)::DOUBLE AS y_moment
+            FROM px GROUP BY id, w, h""",
+        "audio_features": """
+            WITH m AS (SELECT unnest(range(0, 12)) AS id),
+                 par AS (SELECT id, 16000 * ((id % 9000) + 1000) // 1000 AS n FROM m),
+                 s AS (SELECT id, n, i, ((id*31 + i*17) % 65536) - 32768 AS v
+                       FROM par, LATERAL (SELECT unnest(range(0, n)) AS i)),
+                 lagged AS (SELECT id, n, i, v,
+                                   lag(v) OVER (PARTITION BY id ORDER BY i) AS pv
+                            FROM s)
+            SELECT id AS media_id,
+                   sqrt(sum(v*v)::DOUBLE / n) AS rms,
+                   (count(*) FILTER (WHERE pv IS NOT NULL AND ((pv >= 0) != (v >= 0))))::DOUBLE
+                     / (n - 1) AS zcr,
+                   sum(v)::DOUBLE / n AS mean_s,
+                   max(abs(v))::DOUBLE AS peak
+            FROM lagged GROUP BY id, n""",
+        "velocity_methods": """
+            SELECT c_custkey,
+                   'ID=' || c_custkey || ' up=' || upper(c_name)
+                   || ' sub=' || substr(c_name, 1, 8)
+                   || ' rep=' || replace(c_name, 'Customer', 'Cust')
+                   || ' len=' || length(c_name)
+                   || ' low=' || lower(c_mktsegment)
+                   || ' raw=$c_name.cryptic() ok' AS content
+            FROM customer""",
     }

@@ -18,6 +18,17 @@ the CDC per-bucket stats — and every heavy step is a partitioned window
 or a narrow map. The order must be TOTAL (break ties, e.g. by id):
 equal keys land in one partition under range partitioning, so a
 non-total order would make the prefix nondeterministic.
+
+Determinism barrier: ``repartitionByRange`` derives its boundaries from
+a SAMPLE whose seed depends on the RDD id, so two executions of the same
+plan can split boundary rows differently. The totals job (step 3) and
+the output job would then disagree about which partition a row is in —
+silently wrong prefix sums. The ranged pass is therefore materialized
+ONCE with ``localCheckpoint(eager=True)`` before anything reads it: both
+jobs see the same frozen blocks, and any executor loss after that point
+fails the job LOUDLY (truncated lineage cannot recompute) instead of
+recomputing with new boundaries. Same pattern as the connected-components
+iteration in ``operators/fuzzy.py``.
 """
 
 from __future__ import annotations
@@ -35,10 +46,19 @@ def with_running_total(
 ) -> DataFrame:
     """Add ``out_col`` = sum of ``value_col`` over all rows at-or-before
     this row in the TOTAL order ``order_by`` (inclusive prefix sum),
-    computed without a global single-partition window."""
+    computed without a global single-partition window.
+
+    ``value_col`` must be non-negative (checked in the totals job and
+    enforced loudly) when used for budget cuts — see
+    ``token_budget_select``."""
     parts = num_partitions or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    ranged = df.repartitionByRange(parts, *order_by).withColumn(
-        "_rt_pid", F.spark_partition_id()
+    # materialize the sampled range partitioning ONCE (see module doc:
+    # repartitionByRange boundaries are not deterministic across
+    # executions, and two jobs read this frame)
+    ranged = (
+        df.repartitionByRange(parts, *order_by)
+        .withColumn("_rt_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     w = (
         Window.partitionBy("_rt_pid")
@@ -46,10 +66,20 @@ def with_running_total(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     local = ranged.withColumn(out_col, F.sum(value_col).over(w))
-    # one row per partition -> driver; prefix there; broadcast back
+    # one row per partition -> driver; prefix there; broadcast back (the
+    # min rides along so negative values fail loudly, not silently)
     totals = (
-        local.groupBy("_rt_pid").agg(F.sum(value_col).alias("_rt_sum")).collect()
+        ranged.groupBy("_rt_pid")
+        .agg(F.sum(value_col).alias("_rt_sum"), F.min(value_col).alias("_rt_min"))
+        .collect()
     )
+    neg = [r for r in totals if r["_rt_min"] is not None and r["_rt_min"] < 0]
+    if neg:
+        raise ValueError(
+            f"with_running_total: {value_col} has negative values "
+            f"(min {min(r['_rt_min'] for r in neg)}); prefix-budget semantics "
+            "require non-negative values"
+        )
     offsets, acc = [], 0
     for r in sorted(totals, key=lambda r: r["_rt_pid"]):
         offsets.append((r["_rt_pid"], acc))
@@ -75,6 +105,9 @@ def token_budget_select(
     """Keep rows, in ``order_by`` priority, while the inclusive running
     sum of ``value_col`` stays within ``budget`` (greedy prefix — the
     first row that would overflow is dropped, along with everything after
-    it in the order)."""
+    it in the order). ``value_col`` must be non-negative (enforced by
+    ``with_running_total``): with a negative value, a later row's running
+    total could dip back under the budget and re-enter after an overflow,
+    which is not a prefix."""
     cum = with_running_total(df, order_by, value_col, out_col, num_partitions)
     return cum.filter(F.col(out_col) <= budget)

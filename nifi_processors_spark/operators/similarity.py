@@ -13,11 +13,23 @@ Two paths, same results contract (top-k neighbors per query):
     assigned to its nearest centroid once (one scan), queries probe only
     the ``nprobe`` nearest centroid cells. At scale the cell assignment is
     the partition key, so a query touches a fraction of the data.
+
+Cell assignment is a PURE PROJECTION (round 5): centroids are a
+driver-side list (they are ``limit(n_cells)`` by construction), embedded
+as literal arrays, and the nearest cell is an expression argmax —
+``array_max`` over per-centroid ``struct(sim, -cell)`` — so the corpus is
+NEVER shuffled to find its cells. The previous shape (crossJoin with the
+broadcast centroids + ``row_number`` over ``Window.partitionBy(vec_id)``)
+paid a full exchange of every vector on a unique key just to compute a
+per-row argmax — at 100 TB that is the difference between one narrow
+scan and re-shuffling the entire corpus.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import math
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .fuzzy import cosine
@@ -48,35 +60,96 @@ def brute_force_topk(
     return _partial_topk(scored, query_id_col, k).select(query_id_col, "vec_id", "cosine", "rank")
 
 
+def pick_centroids(
+    vectors: DataFrame,
+    n_cells: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic centroid pick: the n_cells rows with the smallest
+    ``xxhash64(id)`` (a seedless uniform sample), numbered 0..n-1 in
+    ascending id order. One tiny job — O(n_cells) rows to the driver,
+    which is exactly the size a coarse-quantizer codebook must be (it is
+    broadcast to every probe anyway)."""
+    rows = (
+        vectors.select(
+            F.col(id_col).alias("_cid"),
+            F.col(vec_col).cast("array<double>").alias("centroid"),
+        )
+        .orderBy(F.xxhash64(F.col("_cid").cast("string")))
+        .limit(n_cells)
+        .collect()
+    )
+    rows.sort(key=lambda r: r["_cid"])
+    return [(cell, list(r["centroid"])) for cell, r in enumerate(rows)]
+
+
+def nearest_cell_expr(
+    centroids: list[tuple[int, list[float]]], vec_col: str = "embedding"
+) -> Column:
+    """Expression-only argmax over literal centroids: for each centroid,
+    ``struct(cosine, -cell)``; ``array_max`` picks best cosine, lowest
+    cell on ties (same order as the former window's ``_sim DESC, cell``).
+    Zero shuffle — the whole assignment is one narrow projection. The
+    query-side norm is staged once (``_stage_norm``) and each centroid's
+    norm is a driver-side constant, so the per-row cost is n_cells dot
+    products, not n_cells full cosines."""
+    v = F.col(vec_col)
+    na = F.col("_vnorm")
+    cands = []
+    for cell, cvec in centroids:
+        lit_c = F.array(*[F.lit(float(x)) for x in cvec])
+        dot = F.aggregate(
+            F.zip_with(v, lit_c, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, y: acc + y,
+        )
+        nb = math.sqrt(sum(x * x for x in cvec))  # same left-fold order as fuzzy.cosine
+        sim = (
+            F.when((na > 0) & F.lit(nb > 0), dot / (na * F.lit(nb))).otherwise(F.lit(0.0))
+        )
+        cands.append(F.struct(sim.alias("s"), F.lit(-cell).alias("negcell")))
+    return -F.array_max(F.array(*cands))["negcell"]
+
+
+def _stage_norm(vectors: DataFrame, vec_col: str) -> DataFrame:
+    """Stage ||v|| as a real column BEFORE the per-centroid expressions —
+    a lambda-captured subexpression would re-evaluate per centroid (no
+    CSE inside HOFs)."""
+    v = F.col(vec_col)
+    na = F.sqrt(
+        F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda acc, y: acc + y)
+    )
+    return vectors.withColumn("_vnorm", na)
+
+
 def assign_cells(
     vectors: DataFrame,
     n_cells: int,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Pick n_cells deterministic centroids (hash-sampled rows) and assign
-    every vector to its nearest centroid (by cosine). Returns
+    every vector to its nearest centroid (by cosine) with a pure
+    projection — no shuffle of the corpus. Returns
     (assigned_vectors(vec_id, embedding, cell), centroids(cell, centroid))."""
-    centroids = (
-        vectors.select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("centroid"))
-        .orderBy(F.xxhash64(F.col("_cid").cast("string")))
-        .limit(n_cells)
-        .withColumn("cell", F.row_number().over(Window.orderBy("_cid")) - 1)
-        .select("cell", "centroid")
+    cents = centroids if centroids is not None else pick_centroids(
+        vectors, n_cells, vec_col, id_col
     )
-    c = F.broadcast(centroids)
-    scored = (
-        vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
-        .crossJoin(c)
-        .withColumn("_sim", cosine(F.col("embedding"), F.col("centroid")))
+    assigned = _stage_norm(
+        vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")),
+        "embedding",
+    ).select(
+        "vec_id",
+        "embedding",
+        nearest_cell_expr(cents, "embedding").alias("cell"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("_sim").desc(), F.col("cell"))
-    assigned = (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("vec_id", "embedding", "cell")
+    spark = vectors.sparkSession
+    centroids_df = spark.createDataFrame(
+        [(c, v) for c, v in cents], "cell int, centroid array<double>"
     )
-    return assigned, centroids
+    return assigned, centroids_df
 
 
 def build_ivf_index(
@@ -90,7 +163,9 @@ def build_ivf_index(
     written as parquet PARTITIONED BY cell (write once, query many — the
     100 TB path). A probe then reads only its nprobe cell directories:
     partition pruning turns each query into a fractional scan, no shuffle
-    of the corpus ever again. Centroids live in a `_centroids` subdir."""
+    of the corpus ever again (the assignment itself is a projection, so
+    the index build is scan -> project -> partitioned write, zero
+    exchanges). Centroids live in a `_centroids` subdir."""
     assigned, centroids = assign_cells(vectors, n_cells, vec_col, id_col)
     assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/vectors")
     centroids.write.mode("overwrite").parquet(f"{path}/_centroids")

@@ -90,22 +90,35 @@ def render_template(
 
 _KEYWORDS = {"set", "if", "foreach", "else", "end", "macro"}
 
+# The generic call alternative excludes the STRUCTURAL keywords (#else /
+# #end take no parens), so `#if($x)a#else (b)#end` and `#end (note)`
+# parse as the directive + literal parenthesized text — Velocity's
+# behavior — instead of a keyword-named call. Malformed #set/#if/
+# #foreach/#macro (which DO take parens but missed their strict form
+# above) still fall into the call branch and raise loudly.
 _DIRECTIVE = re.compile(
     r"#set\s*\(\s*\$(\w+)\s*=\s*\"([^\"]*)\"\s*\)"            # 1: var, 2: literal
     r"|#if\s*\(\s*\$\{?(\w+)\}?\s*\)"                          # 3: cond ref
     r"|#foreach\s*\(\s*\$(\w+)\s+in\s+\$\{?(\w+)\}?\s*\)"      # 4: loop var, 5: list ref
     r"|#macro\s*\(\s*(\w+)((?:\s+\$\w+)*)\s*\)"                # 6: name, 7: params
-    r"|#(\w+)\s*\(([^)]*)\)"                                   # 8: call name, 9: args
+    r"|#(?!else\b|end\b)(\w+)\s*\(([^)]*)\)"                   # 8: call name, 9: args
     r"|#else\b"
     r"|#end\b"
-    r"|\$\{(\w+)\}|\$(\w+)"                                    # 10/11: simple ref
+    r"|\$(\w+)\.(\w+)\(([^)]*)\)"                              # 10: ref, 11: method, 12: args
+    r"|\$\{(\w+)\}|\$(\w+)"                                    # 13/14: simple ref
 )
+
+# $ref.method() subset — the common java.lang.String calls, compiled to
+# the matching Spark built-ins. Anything else renders as the literal
+# reference text (Velocity's quiet-reference rule for unresolvable calls).
+_STRING_METHODS = {"toUpperCase", "toLowerCase", "trim", "length", "substring", "replace"}
 
 _MACRO_ARG = re.compile(r"\$\{?(\w+)\}?|\"([^\"]*)\"|(-?\d+)")
 
 
 def parse_velocity(template: str) -> list:
     """Template -> AST: ('text', s) | ('ref', name) |
+    ('mref', name, method, argstr, raw) |
     ('if', cond, body, else_body) | ('foreach', var, list, body) |
     ('set', var, literal) | ('macro', name, params, body) |
     ('call', name, args, raw). Unbalanced #if/#foreach/#macro/#end raise."""
@@ -164,8 +177,10 @@ def parse_velocity(template: str) -> list:
             if len(stack) == 1:
                 raise ValueError("#end without #if/#foreach/#macro")
             stack.pop()
+        elif g[9] is not None:  # $ref.method(args)
+            top().append(("mref", g[9], g[10], g[11] or "", m.group(0)))
         else:  # simple ref
-            top().append(("ref", g[9] or g[10]))
+            top().append(("ref", g[12] or g[13]))
     if pos < len(template):
         top().append(("text", template[pos:]))
     if len(stack) != 1:
@@ -205,7 +220,11 @@ def render_velocity(
     scrub, unresolved -> literal placeholder); an invocation of an
     undefined macro renders as its literal text, Velocity's behavior; a
     #parse of an unknown name raises (Velocity throws on a missing
-    resource). Remaining boundary: method calls ($obj.method())."""
+    resource). Method calls: the java.lang.String subset
+    ($ref.toUpperCase() / toLowerCase / trim / length / substring(a[,b])
+    / replace(x,y)) compiles to the matching built-ins; any other method
+    — or a call on an unresolvable reference — renders as its literal
+    text (Velocity's quiet-reference rule)."""
     allowed = set(df.columns)
     if attribute_filter is not None:
         rx = re.compile(attribute_filter)
@@ -227,6 +246,43 @@ def render_velocity(
         if name in allowed:
             return F.col(name)
         return F.lit(None)
+
+    def method_call(name: str, method: str, argstr: str, raw: str, env: dict) -> Column:
+        """$ref.method(args): java.lang.String subset -> built-ins.
+        Unknown method, unresolvable ref, or unparseable args -> the
+        literal call text (Velocity's quiet-reference rule). substring is
+        Java semantics (0-based, end-exclusive); args are int or
+        double-quoted string literals (no nested commas)."""
+        if method not in _STRING_METHODS or (name not in env and name not in allowed):
+            return F.lit(raw)
+        args: list = []
+        if argstr.strip():
+            for part in argstr.split(","):
+                part = part.strip()
+                if re.fullmatch(r"-?\d+", part):
+                    args.append(int(part))
+                elif re.fullmatch(r'"[^"]*"', part):
+                    args.append(part[1:-1])
+                else:
+                    return F.lit(raw)
+        base = ref_str(name, env)
+        ints = all(isinstance(a, int) for a in args)
+        strs = all(isinstance(a, str) for a in args)
+        if method == "toUpperCase" and not args:
+            return F.upper(base)
+        if method == "toLowerCase" and not args:
+            return F.lower(base)
+        if method == "trim" and not args:
+            return F.trim(base)
+        if method == "length" and not args:
+            return F.length(base).cast("string")
+        if method == "substring" and args and len(args) <= 2 and ints and args[0] >= 0:
+            if len(args) == 1:
+                return F.substring(base, args[0] + 1, 2**31 - 1)
+            return F.substring(base, args[0] + 1, max(args[1] - args[0], 0))
+        if method == "replace" and len(args) == 2 and strs:
+            return F.replace(base, F.lit(args[0]), F.lit(args[1]))
+        return F.lit(raw)
 
     def mk_body(body: list, env: dict, var: str):
         def f(x):
@@ -253,6 +309,8 @@ def render_velocity(
                 env[n[1]] = F.lit(n[2])
             elif kind == "ref":
                 parts.append(ref_str(n[1], env))
+            elif kind == "mref":
+                parts.append(method_call(n[1], n[2], n[3], n[4], env))
             elif kind == "macro":
                 # driver-side definition; renders to nothing (define-before-
                 # use in document order, matching single-pass evaluation)

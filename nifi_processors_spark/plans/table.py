@@ -631,7 +631,9 @@ class IceliteTable:
         if "_delta_seq" not in df.columns:
             df = df.withColumn("_delta_seq", F.lit(0).cast("long"))
         snap = self.snapshot()
-        key, nb = snap["key"], n_buckets or snap["n_buckets"]
+        if n_buckets is not None and n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+        key, nb = snap["key"], (n_buckets if n_buckets is not None else snap["n_buckets"])
         data_cols = self.field_names(snap)
         new_sid = snap["snapshot_id"] + 1
         out_dir = fsio.join(self.data_dir, f"snap{new_sid}")

@@ -102,6 +102,35 @@ def sessionize_stream(events: DataFrame, gap_ms: int = 30 * 60 * 1000) -> DataFr
     )
 
 
+def sessions_native(events: DataFrame, gap_ms: int = 30 * 60 * 1000) -> DataFrame:
+    """Built-in session windows (``F.session_window``): JVM-side state,
+    no Python in the loop — the engine's second sessionization story next
+    to the custom ``applyInPandasWithState`` kernel, and the one to
+    prefer at scale when the custom state logic isn't needed (same plan
+    shape batch and streaming, state handled by the native operator).
+
+    Boundary alignment: Spark merges an event into the open session when
+    its time is <= the session's end (last event + gap) — INCLUSIVE, so
+    an event exactly ``gap`` after the previous one continues the
+    session, and the split condition is ``delta > gap``: identical to
+    ``sessions_batch``/the stateful kernel (asserted, including the
+    exact-boundary case, in tests/test_round5_ops.py). Same output shape
+    as ``sessions_batch``: (user_id, session_id, n_events, start_us,
+    end_us)."""
+    gap_us = gap_ms * 1000
+    return (
+        events.withColumn("_ts", F.timestamp_micros(F.col("ts_us")))
+        .groupBy("user_id", F.session_window("_ts", f"{gap_us} microseconds"))
+        .agg(
+            F.min("ts_us").alias("session_id"),
+            F.count("*").alias("n_events"),
+            F.min("ts_us").alias("start_us"),
+            F.max("ts_us").alias("end_us"),
+        )
+        .select("user_id", "session_id", "n_events", "start_us", "end_us")
+    )
+
+
 def sessions_batch(events: DataFrame, gap_ms: int = 30 * 60 * 1000) -> DataFrame:
     """Batch oracle: the same session windows via plain window functions
     (one shuffle). Returns ALL sessions, including still-open ones."""

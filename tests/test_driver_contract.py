@@ -68,6 +68,13 @@ def test_query_matches_oracle(spark, ddb, name):
     assert not mismatches, f"{name}: first value mismatch {mismatches[0]}"
 
 
+def test_contract_counts():
+    """The module docstring's contract: every query is oracled except
+    ivf_topk (approximate by construction — nprobe < n_cells)."""
+    assert set(ORACLES) <= set(QUERIES)
+    assert set(QUERIES) - set(ORACLES) == {"ivf_topk"}
+
+
 def test_rows_only_queries_run(spark):
     for name in sorted(set(QUERIES) - set(ORACLES)):
         df = QUERIES[name](spark, SF_DIR)
