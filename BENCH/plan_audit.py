@@ -71,7 +71,13 @@ CHECKS = {
     "corpus_curation": [
         ("never all-pairs (no cartesian product anywhere)", r"CartesianProduct", "absent"),
         ("budget prefix sum never uses a partition-less window", r"Window \[(?![^\]]*_rt_pid)", "absent"),
+        ("offsets join broadcasts the O(partitions) side", r"BroadcastHashJoin", "simple"),
+    ],
+    # the stage upstream of the budget barrier (localCheckpoint truncates
+    # it out of corpus_curation's final explain): the dedup anti-join
+    "_curation_selected": [
         ("dup anti-join broadcasts the small side", r"BroadcastHashJoin [^\n]*LeftAnti", "simple"),
+        ("never all-pairs (no cartesian product anywhere)", r"CartesianProduct", "absent"),
     ],
     "windowed_counts": [
         ("map-side partial aggregation before the exchange", r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate", "simple"),
@@ -96,6 +102,49 @@ CHECKS = {
         ("Arrow-batched kernels only (MapInPandas, never row-at-a-time Python)", r"MapInPandas", "simple"),
         ("single narrow stage (no exchange)", None, "exchange==0"),
     ],
+    "decode_png": [
+        ("Arrow-batched kernels only (MapInPandas, never row-at-a-time Python)", r"MapInPandas", "simple"),
+        ("single narrow stage (no exchange)", None, "exchange==0"),
+    ],
+    "image_features": [
+        ("Arrow-batched kernels only (MapInPandas, never row-at-a-time Python)", r"MapInPandas", "simple"),
+        ("single narrow stage (no exchange)", None, "exchange==0"),
+    ],
+    "audio_features": [
+        ("Arrow-batched kernels only (MapInPandas, never row-at-a-time Python)", r"MapInPandas", "simple"),
+        ("single narrow stage (no exchange)", None, "exchange==0"),
+    ],
+    "ivf_topk_fullprobe": [
+        # round 5: cell assignment is an expression argmax over centroid
+        # literals — the corpus is never shuffled; the only exchanges are
+        # query-side windows (tiny probe set)
+        ("cell assignment is a pure projection (no corpus shuffle on vec_id)", r"hashpartitioning\(vec_id", "absent"),
+        ("remaining exchanges are query-side only (query_id)", r"hashpartitioning\(query_id", "simple"),
+    ],
+    "ivf_topk_indexed_fullprobe": [
+        ("probe scan partition-prunes on cell (dynamic pruning expression)", r"PartitionFilters: \[[^\]]*dynamicpruning", "formatted"),
+        ("no corpus shuffle on vec_id anywhere (index build is also projection-only)", r"hashpartitioning\(vec_id", "absent"),
+    ],
+    "velocity_methods": [
+        ("method calls compile to built-ins: one projection, no UDF", r"BatchEvalPython|MapInPandas", "absent"),
+        ("single narrow stage (no exchange)", None, "exchange==0"),
+    ],
+    "snapshot_changes": [
+        # the feed itself: ONE full-outer key join; every change type fans
+        # out of it through a single filter+explode projection, never a
+        # per-type re-join (and never a cartesian)
+        ("one full-outer key join feeds every change type", r"SortMergeJoin[^\n]*FullOuter", "simple"),
+        ("change rows fan out in one explode projection", r"Generate explode", "simple"),
+        ("never all-pairs (no cartesian product anywhere)", r"CartesianProduct", "absent"),
+    ],
+    "stratified_sample": [
+        ("membership is one narrow filter — no shuffle, no count pass", None, "exchange==0"),
+        ("no per-row Python anywhere (sha256 stays JVM-side)", r"BatchEvalPython|MapInPandas", "absent"),
+    ],
+    "corpus_mix": [
+        ("zero-shuffle union of narrow filters", None, "exchange==0"),
+        ("no per-row Python anywhere (sha256 stays JVM-side)", r"BatchEvalPython|MapInPandas", "absent"),
+    ],
 }
 
 
@@ -111,7 +160,9 @@ def main() -> None:
 
     sections = []
     for name, checks in CHECKS.items():
-        df = qs[name](spark, SF)
+        # names starting with "_" are plan-audit helpers exposed by the
+        # entry module, not driver-contract queries
+        df = (qs[name] if name in qs else getattr(em, name))(spark, SF)
         simple = explain(df, "simple")
         formatted = explain(df, "formatted")
         lines = []

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nifi_processors_spark.operators import (
-    budget, fuzzy, multimodal, profile, similarity, text,
+    budget, fuzzy, multimodal, profile, sample, similarity, text,
 )
 from nifi_processors_spark.operators.dedup import lww_dedup
 from nifi_processors_spark.operators.rules import evaluate, explode_details, route
@@ -485,6 +485,49 @@ def q_audio_features(spark, sf_dir):
     )
 
 
+def q_decode_video(spark, sf_dir):
+    """Real video container decode (round 5): synthetic_media emits
+    genuine YUV4MPEG2 streams; decode_video walks the FRAME markers and
+    reports the actual frame count — the oracle recomputes it from the
+    encoding parameters (fps=4, n_frames = duration*4/1000)."""
+    media = multimodal.synthetic_media(spark, 40, kind="video")
+    return multimodal.decode_video(media).select(
+        "media_id", "format",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("fps").cast("long").alias("fps"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+        "duration_ms",
+    )
+
+
+def q_frame_stats(spark, sf_dir):
+    """Per-frame plane means from REAL decoded y4m frames (one row per
+    frame, fan-out inside the Arrow batch) — closed-form pixels, so the
+    oracle recomputes every frame's Y/U/V means arithmetically."""
+    media = multimodal.synthetic_media(spark, 6, kind="video", pattern="arith")
+    return multimodal.sample_frames(media).select(
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        "ts_ms", "y_mean", "u_mean", "v_mean",
+    )
+
+
+def q_video_features(spark, sf_dir):
+    """REAL video features (frame count, overall mean, first/last frame Y
+    means) through the extract_features dispatch — frame-boundary
+    sensitive under the arith pattern."""
+    media = multimodal.synthetic_media(spark, 10, kind="video", pattern="arith")
+    feat = multimodal.extract_features(media, dim=4)
+    return feat.select(
+        "media_id",
+        F.col("features")[0].alias("n_frames"),
+        F.col("features")[1].alias("overall_mean"),
+        F.col("features")[2].alias("first_y_mean"),
+        F.col("features")[3].alias("last_y_mean"),
+    )
+
+
 def q_ivf_topk_indexed_fullprobe(spark, sf_dir):
     """The persisted-index ANN path — the stated 100 TB path: build the
     cell-partitioned parquet index (assignment is a pure projection, zero
@@ -505,6 +548,85 @@ def q_ivf_topk_indexed_fullprobe(spark, sf_dir):
     similarity.build_ivf_index(vecs, path, n_cells=8)
     out = similarity.ivf_topk_indexed(spark, path, queries_df, k=3, nprobe=8)
     return out.select("query_id", "vec_id", "rank")
+
+
+def q_snapshot_changes(spark, sf_dir):
+    """Delta-CDF-style change feed between two REAL committed snapshots
+    (round 5): epoch 1 merges the first half of the change log (event_id
+    <= max/2; error winners tombstone), epoch 2 the rest;
+    IceliteTable.changes(s1, s2) emits insert / delete /
+    update_preimage / update_postimage rows reading ONLY buckets whose
+    file-entry lists differ between the snapshots (manifest pruning),
+    then one full-outer join + one filter/explode projection. The oracle
+    recomputes both LWW states in SQL and diffs them."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from nifi_processors_spark.plans.table import IceliteTable
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.round("value", 2).alias("value"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    mid = ev.agg((F.max("event_id") / 2).cast("long").alias("m")).collect()[0]["m"]
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("ts_us", T.LongType()),
+    ])
+
+    def chset(df):
+        return df.select(
+            "user_id", "event_type", "value", "ts_us",
+            F.when(F.col("event_type") == "error", F.lit("D"))
+            .otherwise(F.lit("U")).alias("op"),
+            F.col("ts_us").alias("commit_seq"),
+            F.col("event_id").alias("event_seq"),
+        )
+
+    tbl = IceliteTable.create(
+        spark, tempfile.mkdtemp(prefix="chfeed_"), schema,
+        key=["user_id"], n_buckets=8,
+    )
+    s1, _ = tbl.merge(chset(ev.filter(F.col("event_id") <= mid)))
+    s2, _ = tbl.merge(chset(ev.filter(F.col("event_id") > mid)))
+    return tbl.changes(s1, s2).select(
+        "user_id", "event_type", "value", "ts_us", "_change_type"
+    )
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum sampling (round 5): event_type strata at
+    different rates via the sha256-derived integer-threshold hash —
+    membership is a pure function of (key, seed), identical across
+    retries, partitionings and engines (df.sample is none of those).
+    One narrow filter, zero shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    out = sample.stratified_sample(
+        ev, "event_type", "event_id",
+        {"click": 0.1, "view": 0.25, "purchase": 1.0}, default=0.5, seed=7,
+    )
+    return out.select("event_id", "user_id", "event_type")
+
+
+def q_corpus_mix(spark, sf_dir):
+    """Weighted corpus mixing (round 5): two heterogeneous sources
+    (documents at 0.3, order comments at 0.08) sampled deterministically
+    by key hash, tagged, and combined by name — the data-mixing step of
+    a training pipeline as a zero-shuffle union of narrow filters."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("row_id"), "text"
+    )
+    ords = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("row_id"), F.col("o_orderpriority").alias("text")
+    )
+    out = sample.mix_corpora(
+        [(docs, "docs", 0.3), (ords, "orders", 0.08)], "row_id", seed=3
+    )
+    return out.select("row_id", "text", F.col("_source").alias("source"))
 
 
 def q_velocity_methods(spark, sf_dir):
@@ -567,14 +689,12 @@ def q_profile_events(spark, sf_dir):
 _CURATION_BUDGET = 15_000  # BPE tokens (sf docs carry ~27k total)
 
 
-def q_corpus_curation(spark, sf_dir):
-    """End-to-end corpus curation — the composition a training-data
-    pipeline actually runs: exact dedup (keep min id per normalized
-    content) -> MinHash near-dup clusters, keep one representative per
-    cluster -> language filter (drop 'und') -> greedy token-budget
-    selection by (bpe_tokens desc, doc_id) using the DISTRIBUTED running
-    total (operators/budget.py — range-partitioned two-phase prefix sum,
-    never a single-partition global window)."""
+def _curation_selected(spark, sf_dir):
+    """The curation pipeline UP TO the budget cut (exact dedup -> near-dup
+    clusters -> keep one per cluster -> language filter). Split out so the
+    plan audit can inspect the anti-join: the budget stage materializes
+    its range partitioning with localCheckpoint (see operators/budget.py),
+    which truncates everything upstream out of the final explain."""
     docs = _t(spark, sf_dir, "documents")
     survivors = fuzzy.exact_dedup_keep(docs, "text", "doc_id")
     pairs = fuzzy.minhash_lsh_pairs(
@@ -589,7 +709,18 @@ def q_corpus_curation(spark, sf_dir):
     feats = text.with_language_id(kept, "text", "lang_id").select(
         "doc_id", "lang_id", text.bpe_token_count(F.col("text")).alias("bpe_tokens")
     )
-    sel = feats.filter(F.col("lang_id") != "und")
+    return feats.filter(F.col("lang_id") != "und")
+
+
+def q_corpus_curation(spark, sf_dir):
+    """End-to-end corpus curation — the composition a training-data
+    pipeline actually runs: exact dedup (keep min id per normalized
+    content) -> MinHash near-dup clusters, keep one representative per
+    cluster -> language filter (drop 'und') -> greedy token-budget
+    selection by (bpe_tokens desc, doc_id) using the DISTRIBUTED running
+    total (operators/budget.py — range-partitioned two-phase prefix sum,
+    never a single-partition global window)."""
+    sel = _curation_selected(spark, sf_dir)
     out = budget.token_budget_select(
         sel, "bpe_tokens", _CURATION_BUDGET,
         [F.col("bpe_tokens").desc(), F.col("doc_id")],
@@ -646,9 +777,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_image": q_decode_image,
         "decode_audio": q_decode_audio,
         "decode_png": q_decode_png,
+        "decode_video": q_decode_video,
+        "frame_stats": q_frame_stats,
         "image_features": q_image_features,
         "audio_features": q_audio_features,
+        "video_features": q_video_features,
         "velocity_methods": q_velocity_methods,
+        "snapshot_changes": q_snapshot_changes,
+        "stratified_sample": q_stratified_sample,
+        "corpus_mix": q_corpus_mix,
         "ivf_topk_fullprobe": q_ivf_topk_fullprobe,
         "ivf_topk_indexed_fullprobe": q_ivf_topk_indexed_fullprobe,
         # rows-only check: nprobe < n_cells is genuinely approximate (no
@@ -922,6 +1059,23 @@ def _arith_px_cte(n: int) -> str:
                      LATERAL (SELECT unnest(range(0, 3)) AS c))"""
 
 
+def _arith_frame_cte(n: int) -> str:
+    """Video-sample CTE mirroring multimodal.arith_frame_px over the
+    synthetic dims (fps=4 -> nf = (id%9000+1000)*4//1000): one row per
+    (video, frame, x, y, plane)."""
+    return f"""
+    WITH m AS (SELECT unnest(range(0, {n})) AS id),
+         dims AS (SELECT id, (id % 64 + 16) AS w, (id % 48 + 16) AS h,
+                         ((id % 9000) + 1000) * 4 // 1000 AS nf FROM m),
+         px AS (SELECT id, w, h, nf, f, x, y, c,
+                       (id + 13*f + 3*x + 7*y + 11*c) % 256 AS v
+                FROM dims,
+                     LATERAL (SELECT unnest(range(0, nf)) AS f),
+                     LATERAL (SELECT unnest(range(0, w)) AS x),
+                     LATERAL (SELECT unnest(range(0, h)) AS y),
+                     LATERAL (SELECT unnest(range(0, 3)) AS c))"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "lww_dedup_events": _LWW_CTE
@@ -1127,6 +1281,27 @@ def oracle_sql() -> dict[str, str]:
                    sum(v)::DOUBLE / n AS mean_s,
                    max(abs(v))::DOUBLE AS peak
             FROM lagged GROUP BY id, n""",
+        "decode_video": """
+            SELECT r AS media_id, 'y4m' AS format,
+                   (r % 64 + 16)::BIGINT AS width,
+                   (r % 48 + 16)::BIGINT AS height,
+                   4::BIGINT AS fps,
+                   ((r % 9000 + 1000) * 4 // 1000)::BIGINT AS n_frames,
+                   (((r % 9000 + 1000) * 4 // 1000) * 1000 // 4)::BIGINT AS duration_ms
+            FROM (SELECT unnest(range(0, 40)) AS r)""",
+        "frame_stats": _arith_frame_cte(6) + """
+            SELECT id AS media_id, f::BIGINT AS frame_idx,
+                   (f * 1000 // 4)::BIGINT AS ts_ms,
+                   sum(CASE WHEN c=0 THEN v END)::DOUBLE / (w*h) AS y_mean,
+                   sum(CASE WHEN c=1 THEN v END)::DOUBLE / (w*h) AS u_mean,
+                   sum(CASE WHEN c=2 THEN v END)::DOUBLE / (w*h) AS v_mean
+            FROM px GROUP BY id, w, h, f""",
+        "video_features": _arith_frame_cte(10) + """
+            SELECT id AS media_id, nf::DOUBLE AS n_frames,
+                   sum(v)::DOUBLE / (nf*w*h*3) AS overall_mean,
+                   sum(CASE WHEN f=0 AND c=0 THEN v END)::DOUBLE / (w*h) AS first_y_mean,
+                   sum(CASE WHEN f=nf-1 AND c=0 THEN v END)::DOUBLE / (w*h) AS last_y_mean
+            FROM px GROUP BY id, w, h, nf""",
         "velocity_methods": """
             SELECT c_custkey,
                    'ID=' || c_custkey || ' up=' || upper(c_name)
@@ -1136,4 +1311,52 @@ def oracle_sql() -> dict[str, str]:
                    || ' low=' || lower(c_mktsegment)
                    || ' raw=$c_name.cryptic() ok' AS content
             FROM customer""",
+        "snapshot_changes": """
+            WITH mid AS (SELECT (max(event_id) // 2) AS m FROM events),
+                 ev AS (SELECT user_id, event_type, round(value, 2) AS value,
+                               epoch_us(ts) AS ts_us, event_id FROM events),
+                 w1 AS (SELECT user_id, event_type, value, ts_us FROM (
+                          SELECT e.*, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts_us DESC, event_id DESC) AS rn
+                          FROM ev e, mid WHERE event_id <= m)
+                        WHERE rn = 1 AND event_type <> 'error'),
+                 w2 AS (SELECT user_id, event_type, value, ts_us FROM (
+                          SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts_us DESC, event_id DESC) AS rn
+                          FROM ev)
+                        WHERE rn = 1 AND event_type <> 'error')
+            SELECT n.user_id, n.event_type, n.value, n.ts_us,
+                   'insert' AS _change_type
+            FROM w2 n LEFT JOIN w1 o USING (user_id) WHERE o.user_id IS NULL
+            UNION ALL
+            SELECT o.user_id, o.event_type, o.value, o.ts_us, 'delete'
+            FROM w1 o LEFT JOIN w2 n USING (user_id) WHERE n.user_id IS NULL
+            UNION ALL
+            SELECT o.user_id, o.event_type, o.value, o.ts_us, 'update_preimage'
+            FROM w1 o JOIN w2 n USING (user_id)
+            WHERE (o.event_type, o.value, o.ts_us)
+                  IS DISTINCT FROM (n.event_type, n.value, n.ts_us)
+            UNION ALL
+            SELECT n.user_id, n.event_type, n.value, n.ts_us, 'update_postimage'
+            FROM w1 o JOIN w2 n USING (user_id)
+            WHERE (o.event_type, o.value, o.ts_us)
+                  IS DISTINCT FROM (n.event_type, n.value, n.ts_us)""",
+        "stratified_sample": f"""
+            SELECT event_id, user_id, event_type FROM events
+            WHERE ('0x' || substring(sha256(event_id::VARCHAR || '#s7'), 1, 15))::UBIGINT::BIGINT
+                  < CASE event_type
+                      WHEN 'click' THEN {sample.fraction_threshold(0.1)}
+                      WHEN 'view' THEN {sample.fraction_threshold(0.25)}
+                      WHEN 'purchase' THEN {sample.fraction_threshold(1.0)}
+                      ELSE {sample.fraction_threshold(0.5)} END""",
+        "corpus_mix": f"""
+            SELECT doc_id AS row_id, text, 'docs' AS source
+            FROM documents
+            WHERE ('0x' || substring(sha256(doc_id::VARCHAR || '#s3'), 1, 15))::UBIGINT::BIGINT
+                  < {sample.fraction_threshold(0.3)}
+            UNION ALL
+            SELECT o_orderkey AS row_id, o_orderpriority AS text, 'orders'
+            FROM orders
+            WHERE ('0x' || substring(sha256(o_orderkey::VARCHAR || '#s3'), 1, 15))::UBIGINT::BIGINT
+                  < {sample.fraction_threshold(0.08)}""",
     }

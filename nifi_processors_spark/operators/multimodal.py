@@ -9,18 +9,22 @@ handle:
     per-scanline unfilter of all five PNG filter types (None/Sub/Up/
     Average/Paeth, RFC 2083 §6). No PIL needed.
   * WAV — RIFF chunk walk + PCM16 sample decode.
+  * video — YUV4MPEG2 (y4m): ASCII stream header + FRAME-marker walk +
+    full per-frame plane decode. The uncompressed interchange container
+    needs no codec library on either side.
 
-``synthetic_media`` emits genuinely encoded BMP/PNG/WAV payloads
+``synthetic_media`` emits genuinely encoded BMP/PNG/WAV/y4m payloads
 (including PNGs that cycle through all five filter types), so the
 decoders are tested against real bytes; ``pattern="arith"`` makes the
-pixel/sample values a closed-form function of (media_id, x, y, channel)
-so external oracles can recompute decoded statistics arithmetically.
+pixel/sample values a closed-form function of (media_id, position) so
+external oracles can recompute decoded statistics arithmetically.
 ``extract_features`` computes REAL features from the decoded bytes
 (per-channel means + row moment for images; RMS / zero-crossing rate /
-mean / peak for audio). What still needs a native library is JPEG and
-video containers; those stay behind the HAVE_PIL gate / the documented
-fake (video payloads), with the Spark-side contract — schema, Arrow
-batch shapes, ``mapInPandas`` plumbing, partitioning — identical.
+mean / peak for audio; frame statistics for video). The only remaining
+library-bound formats are JPEG (HAVE_PIL gate) and compressed video
+containers (mp4/webm — decode_error rows), with the Spark-side contract
+— schema, Arrow batch shapes, ``mapInPandas`` plumbing, partitioning —
+identical either way.
 
 This is the sanctioned pandas/Arrow UDF slow path (BASELINE.json.input_hint
 allows vectorized pandas UDFs; never per-row Python): binaries cross to
@@ -220,7 +224,74 @@ def wav_bytes(
     )
 
 
+def arith_frame_px(seed: int, f: int, x: int, y: int, c: int) -> int:
+    """Closed-form video sample for ``pattern="arith"``: plane c (0=Y,
+    1=U, 2=V) of frame f — frame-dependent, so a decoder that mixed up
+    frame boundaries would change per-frame statistics."""
+    return (seed + 13 * f + 3 * x + 7 * y + 11 * c) % 256
+
+
+def y4m_bytes(
+    width: int, height: int, n_frames: int, fps: int = 4, seed: int = 0,
+    pattern: str = "rand",
+) -> bytes:
+    """A REAL video container, pure stdlib: YUV4MPEG2 (y4m — the
+    uncompressed interchange format ffmpeg/mjpegtools speak). ASCII
+    stream header, then per-frame ``FRAME\\n`` markers each followed by
+    three full-resolution planes (C444: Y, U, V raster order). The one
+    video container that needs no codec library on either side."""
+    out = bytearray(f"YUV4MPEG2 W{width} H{height} F{fps}:1 Ip A1:1 C444\n".encode())
+    for f_ in range(n_frames):
+        out += b"FRAME\n"
+        if pattern == "arith":
+            out += bytes(
+                arith_frame_px(seed, f_, x, y, c)
+                for c in range(3) for y in range(height) for x in range(width)
+            )
+        else:
+            out += _det_bytes(seed * 1000003 + f_, width * height * 3)
+    return bytes(out)
+
+
 # ---------------- pure-stdlib decoders (the decode kernels) --------------
+
+
+def _y4m_frames(payload: bytes) -> "tuple[int, int, int, list[np.ndarray]]":
+    """y4m stream -> (width, height, fps, [frame arrays (3, H, W) uint8]).
+    Parses the ASCII stream header, then walks FRAME markers; raises on a
+    malformed header, an unsupported colorspace, or truncated planes."""
+    nl = payload.index(b"\n")
+    head = payload[:nl].decode("ascii", "strict").split(" ")
+    if head[0] != "YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = fps = None
+    cs = "C420jpeg"  # the format's default when no C tag is present
+    for tok in head[1:]:
+        if tok.startswith("W"):
+            w = int(tok[1:])
+        elif tok.startswith("H"):
+            h = int(tok[1:])
+        elif tok.startswith("F"):
+            fps = int(tok[1:].split(":")[0])
+        elif tok.startswith("C"):
+            cs = tok
+    if w is None or h is None or fps is None:
+        raise ValueError(f"incomplete y4m header {head!r}")
+    if cs != "C444":
+        raise ValueError(f"unsupported colorspace {cs} (decoder handles C444)")
+    frame_bytes = w * h * 3
+    frames, pos = [], nl + 1
+    while pos < len(payload):
+        fnl = payload.index(b"\n", pos)
+        if payload[pos:pos + 5] != b"FRAME":
+            raise ValueError("missing FRAME marker")
+        pos = fnl + 1
+        plane = payload[pos:pos + frame_bytes]
+        if len(plane) < frame_bytes:
+            raise ValueError("truncated frame planes")
+        frames.append(np.frombuffer(plane, np.uint8).reshape(3, h, w))
+        pos += frame_bytes
+    return w, h, fps, frames
 
 
 def _bmp_pixels(payload: bytes) -> "np.ndarray | None":
@@ -373,10 +444,10 @@ def _parse_wav(payload: bytes | None) -> dict:
 def synthetic_media(
     spark, n: int, kind: str = "image", pattern: str = "rand"
 ) -> DataFrame:
-    """Deterministic media table, shape = MEDIA_SCHEMA. image (BMP) / png
-    / audio rows carry REAL encoded payloads built distributed inside
-    mapInPandas — no driver-side loop; video keeps seeded fake bytes (no
-    pure-stdlib container writer exists). meta matches the encoding.
+    """Deterministic media table, shape = MEDIA_SCHEMA. EVERY kind carries
+    a REAL encoded payload built distributed inside mapInPandas — no
+    driver-side loop: image = BMP24, png = RGB8 PNG, audio = PCM16 WAV,
+    video = YUV4MPEG2 (y4m, 4 fps C444). meta matches the encoding.
     ``pattern="arith"`` makes pixel/sample values closed-form in
     (media_id, position) — see arith_px / arith_sample — so decoded
     statistics are recomputable by an external SQL oracle."""
@@ -390,8 +461,9 @@ def synthetic_media(
 
     mime = {
         "image": "image/bmp", "png": "image/png",
-        "audio": "audio/wav", "video": "video/x-fake",
+        "audio": "audio/wav", "video": "video/x-yuv4mpeg",
     }[kind]
+    fps = 4  # video frame rate: n_frames = duration_ms * fps // 1000
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -414,10 +486,14 @@ def synthetic_media(
                         pdf["media_id"], pdf["duration_ms"], pdf["sample_rate"]
                     )
                 ]
-            else:  # video: opaque fake bytes (documented stub)
+            else:  # video: REAL y4m streams (round 5 — no more fake bytes)
                 pdf["payload"] = [
-                    hashlib.sha512(f"media:{int(i)}".encode()).digest()
-                    for i in pdf["media_id"]
+                    y4m_bytes(int(w), int(h), int(d) * fps // 1000, fps=fps,
+                              seed=int(i), pattern=pattern)
+                    for i, w, h, d in zip(
+                        pdf["media_id"], pdf["width"], pdf["height"],
+                        pdf["duration_ms"],
+                    )
                 ]
             yield pdf
 
@@ -509,14 +585,33 @@ def audio_feature_vec(payload: bytes) -> list[float]:
     return [rms, zcr, int(s.sum()) / n, float(np.abs(s).max())]
 
 
+def video_feature_vec(payload: bytes) -> list[float]:
+    """REAL video features from decoded y4m frames: [n_frames,
+    overall_mean, first_frame_y_mean, last_frame_y_mean] — frame-boundary
+    sensitive (first/last Y means differ per frame under the arith
+    pattern), exact-integer sums under IEEE divisions."""
+    w, h, _fps, frames = _y4m_frames(payload)
+    if not frames:
+        return [0.0, 0.0, 0.0, 0.0]
+    total = sum(int(fr.astype(np.int64).sum()) for fr in frames)
+    return [
+        float(len(frames)),
+        total / (len(frames) * w * h * 3),
+        int(frames[0][0].astype(np.int64).sum()) / (w * h),
+        int(frames[-1][0].astype(np.int64).sum()) / (w * h),
+    ]
+
+
 def extract_features(df: DataFrame, dim: int = 4, batch_hint: int = 256) -> DataFrame:
-    """Image/audio feature extraction over mapInPandas — REAL kernels over
-    the decoded bytes (round 5): BMP/PNG payloads get pixel statistics
+    """Media feature extraction over mapInPandas — REAL kernels over the
+    decoded bytes (round 5): BMP/PNG payloads get pixel statistics
     (per-channel means + row moment), WAV payloads get sample statistics
-    (RMS, zero-crossing rate, mean, peak). Payloads with no stdlib
-    decoder (video containers) fall back to the documented sha-chain
-    stub; undecodable bytes yield null features (quarantine-style, the
-    stage never fails). Output padded/truncated to ``dim``."""
+    (RMS, zero-crossing rate, mean, peak), y4m payloads get frame
+    statistics (frame count, overall/first/last means). Video containers
+    with no stdlib decoder (mp4/webm) fall back to the documented
+    sha-chain stub; undecodable bytes yield null features
+    (quarantine-style, the stage never fails). Output padded/truncated to
+    ``dim``."""
     out_schema = T.StructType(
         df.schema.fields + [T.StructField("features", T.ArrayType(T.DoubleType()))]
     )
@@ -529,8 +624,10 @@ def extract_features(df: DataFrame, dim: int = 4, batch_hint: int = 256) -> Data
                 feats = image_feature_vec(payload)
             elif payload[:4] == b"RIFF":
                 feats = audio_feature_vec(payload)
+            elif payload[:9] == b"YUV4MPEG2":
+                feats = video_feature_vec(payload)
             elif kind == "video":
-                feats = _fake_feature(payload, dim)  # documented stub
+                feats = _fake_feature(payload, dim)  # codec-bound containers
             else:
                 return None
             if feats is None:
@@ -607,10 +704,92 @@ def decode_audio(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, out_schema)
 
 
+_VIDEO_DECODE_FIELDS = [
+    T.StructField("format", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("fps", T.IntegerType()),
+    T.StructField("n_frames", T.IntegerType()),
+    T.StructField("duration_ms", T.LongType()),
+    T.StructField("decode_error", T.StringType()),
+]
+
+
+def decode_video(df: DataFrame) -> DataFrame:
+    """Video container decode over mapInPandas (y4m/YUV4MPEG2, pure
+    stdlib): format, dimensions, frame rate, REAL frame count from
+    walking the FRAME markers, and duration derived from them. Same
+    error-column contract as the other decoders. Compressed containers
+    (mp4/webm) genuinely need a codec library and surface as
+    decode_error rows."""
+    out_schema = T.StructType(df.schema.fields + _VIDEO_DECODE_FIELDS)
+
+    def one(payload: bytes | None) -> dict:
+        try:
+            if payload is None or payload[:9] != b"YUV4MPEG2":
+                return {"decode_error": "not a YUV4MPEG2 stream"}
+            w, h, fps, frames = _y4m_frames(payload)
+            return {
+                "format": "y4m", "width": w, "height": h, "fps": fps,
+                "n_frames": len(frames),
+                "duration_ms": len(frames) * 1000 // fps,
+            }
+        except Exception as e:
+            return {"decode_error": f"parse failure: {e}"}
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            parsed = [one(p) for p in pdf["payload"]]
+            for f in _VIDEO_DECODE_FIELDS:
+                pdf[f.name] = [d.get(f.name) for d in parsed]
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)
+
+
+def sample_frames(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """REAL frame extraction (round 5): decode every frame of each y4m
+    payload and emit one row per frame with its timestamp and exact
+    per-plane means — the Spark-side shape a frame-level feature pipeline
+    consumes (one narrow mapInPandas, rows fan out inside the Arrow
+    batch; undecodable payloads contribute zero rows, quarantine-style).
+    Returns (id, frame_idx, ts_ms, y_mean, u_mean, v_mean)."""
+    out_schema = (
+        f"{id_col} long, frame_idx int, ts_ms long, "
+        "y_mean double, u_mean double, v_mean double"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf["payload"]):
+                try:
+                    w, h, fps, frames = _y4m_frames(payload)
+                except Exception:
+                    continue
+                for i, fr in enumerate(frames):
+                    f64 = fr.astype(np.int64)
+                    rows.append({
+                        id_col: int(mid), "frame_idx": i,
+                        "ts_ms": i * 1000 // fps,
+                        "y_mean": int(f64[0].sum()) / (w * h),
+                        "u_mean": int(f64[1].sum()) / (w * h),
+                        "v_mean": int(f64[2].sum()) / (w * h),
+                    })
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "frame_idx", "ts_ms", "y_mean", "u_mean", "v_mean"],
+            )
+
+    return df.mapInPandas(run, out_schema)
+
+
 def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Video frame sampling *plan*: computes the frame timestamps to decode
-    per row (expression-only); the actual frame extraction needs a video
-    library (stub). Returns one row per (media_id, frame_ts_ms)."""
+    """Frame sampling *plan*: computes the frame timestamps to decode per
+    row (expression-only) — the scheduling half used to prune which
+    frames ``sample_frames`` should touch on containers where seeking is
+    cheap. Returns one row per (media_id, frame_ts_ms)."""
     return (
         df.filter(F.col("kind") == "video")
         .select(

@@ -225,6 +225,106 @@ class IceliteTable:
             out = out.filter(~F.coalesce(F.col("_deleted"), F.lit(False))).drop("_deleted")
         return out
 
+    # ---------------- change feed (snapshot diff) ----------------
+
+    def changes(self, from_snapshot_id: int, to_snapshot_id: int) -> DataFrame:
+        """Row-level change feed between two committed snapshots — the
+        Delta-CDF / Iceberg-changelog analogue: one row per changed key
+        with ``_change_type`` in {insert, delete, update_preimage,
+        update_postimage} (updates emit both images), over the TO
+        snapshot's schema (the FROM side is remapped by field id, so
+        renames diff correctly and later-added columns null-backfill).
+
+        Scale shape: **manifest-pruned** — snapshots share unchanged
+        bucket files, so any bucket whose file-entry list is identical in
+        both snapshots cannot contain a change and is never read (a merge
+        rewrites only touched buckets; at 100 TB the feed's input is the
+        touched fraction, not the table). The pruned sides then meet in
+        ONE full-outer join on the key (both sides are bucket-clustered
+        on that very key — on a bucketed catalog this exchange
+        disappears), and the per-key verdict fans out through a single
+        filter+explode projection: one join, one pass, never recomputed
+        per change type. Unchanged keys yield an empty array and vanish
+        in the explode.
+
+        Tombstoned keys are user-invisible (``read`` default), so a key
+        deleted between the snapshots surfaces as ``delete`` and a
+        tombstone-then-reinserted key as ``insert``."""
+        from functools import reduce as _reduce
+
+        snap_f = self.snapshot(from_snapshot_id)
+        snap_t = self.snapshot(to_snapshot_id)
+        key = snap_t["key"]
+        if snap_f["key"] != key:
+            raise ValueError(f"key changed between snapshots: {snap_f['key']} vs {key}")
+        t_fields = snap_t["schemas"][str(snap_t["schema_version"])]
+        names = [f["name"] for f in t_fields]
+        out_schema = T.StructType(
+            [T.StructField(f["name"], _type_from_json(f["type"]), True) for f in t_fields]
+            + [T.StructField("_change_type", T.StringType(), False)]
+        )
+
+        buckets: list[int] | None = None
+        if snap_f["n_buckets"] == snap_t["n_buckets"]:
+            every = set(snap_f["buckets"]) | set(snap_t["buckets"])
+            buckets = sorted(
+                int(b) for b in every
+                if snap_f["buckets"].get(b) != snap_t["buckets"].get(b)
+            )
+            if not buckets:
+                return self.spark.createDataFrame([], out_schema)
+        # else: rebucket between the snapshots — layouts aren't comparable,
+        # fall through to a full read of both sides
+
+        # FROM side projected into the TO namespace by field id
+        f_by_id = {f["id"]: f for f in snap_f["schemas"][str(snap_f["schema_version"])]}
+        old_cols = []
+        for f in t_fields:
+            ff = f_by_id.get(f["id"])
+            if ff is not None:
+                old_cols.append(F.col(ff["name"]).alias(f["name"]))
+            else:
+                old_cols.append(F.lit(None).cast(_type_from_json(f["type"])).alias(f["name"]))
+        old = (
+            self.read(from_snapshot_id, buckets=buckets)
+            .select(*old_cols)
+            .select(*[F.col(c).alias(f"_o_{c}") for c in names])
+        )
+        new = (
+            self.read(to_snapshot_id, buckets=buckets)
+            .select(*[F.col(c).alias(f"_n_{c}") for c in names])
+        )
+
+        in_old = _reduce(lambda a, b: a & b, [F.col(f"_o_{k}").isNotNull() for k in key])
+        in_new = _reduce(lambda a, b: a & b, [F.col(f"_n_{k}").isNotNull() for k in key])
+        data = [c for c in names if c not in key]
+        differs = _reduce(
+            lambda a, b: a | b,
+            [~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}")) for c in data],
+            F.lit(False),
+        )
+
+        def img(side: str, tag: str) -> Column:
+            return F.struct(
+                *[F.col(f"_{side}_{c}").alias(c) for c in names],
+                F.lit(tag).alias("_change_type"),
+            )
+
+        verdict = F.array(
+            F.when(~in_old, img("n", "insert")),
+            F.when(in_old & ~in_new, img("o", "delete")),
+            F.when(in_old & in_new & differs, img("o", "update_preimage")),
+            F.when(in_old & in_new & differs, img("n", "update_postimage")),
+        )
+        joined = old.join(
+            new, [F.col(f"_o_{k}") == F.col(f"_n_{k}") for k in key], "full_outer"
+        )
+        return (
+            joined.select(
+                F.explode(F.filter(verdict, lambda x: x.isNotNull())).alias("_chg")
+            ).select("_chg.*")
+        )
+
     # ---------------- ALTER (schema evolution, no data rewrite) ----------------
 
     def alter(self, renames: dict[str, str], adds: list[tuple[str, T.DataType]], lineage: dict | None = None) -> int:

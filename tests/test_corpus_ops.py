@@ -163,12 +163,18 @@ def test_simhash_pairs_equals_brute_force(neardup_docs, max_hamming):
 def test_minhash_no_persist_leak(neardup_docs, spark):
     """Repeated LSH calls must not accumulate cached partitions (round-1
     leaked two persists per call; the groupBy-based candidate generation
-    needs no cache at all)."""
+    needs no cache at all). Asserted as a DELTA, not a global zero: the
+    session is shared, and operators that legitimately localCheckpoint
+    (budget prefix sum, connected components) keep their blocks alive
+    until their DataFrame is garbage-collected."""
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
     for _ in range(2):
         fuzzy.minhash_lsh_pairs(
             neardup_docs, "text", "doc_id", threshold=0.5, num_hashes=32, bands=16, shingle_n=2
         ).collect()
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+    # <=, not ==: the ContextCleaner may garbage-collect OTHER tests'
+    # checkpoint blocks while this runs; a minhash leak would only ADD
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() <= before
 
 
 def test_ngram_jaccard_oracle_agreement(neardup_docs):

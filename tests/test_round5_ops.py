@@ -101,6 +101,50 @@ def test_extract_features_dispatch_and_quarantine(spark):
     assert all(r["features"] is None for r in out)
 
 
+# ---------------- y4m video codec ----------------
+
+
+def test_y4m_round_trip():
+    w, h, nf = 20, 12, 5
+    p = mm.y4m_bytes(w, h, nf, fps=4, seed=3, pattern="arith")
+    w2, h2, fps, frames = mm._y4m_frames(p)
+    assert (w2, h2, fps, len(frames)) == (w, h, 4, nf)
+    for f, x, y, c in [(0, 0, 0, 0), (nf - 1, w - 1, h - 1, 2), (2, 3, 5, 1)]:
+        assert frames[f][c, y, x] == mm.arith_frame_px(3, f, x, y, c)
+
+
+def test_y4m_garbage_and_truncation():
+    p = mm.y4m_bytes(16, 16, 3, seed=1)
+    with pytest.raises(ValueError):
+        mm._y4m_frames(p[:100])
+    with pytest.raises(ValueError):
+        mm._y4m_frames(b"YUV4MPEG2 W16 H16 F4:1 C420\n")  # unsupported colorspace
+
+
+def test_decode_video_and_sample_frames(spark):
+    media = mm.synthetic_media(spark, 4, kind="video", pattern="arith")
+    dec = {r["media_id"]: r for r in mm.decode_video(media).collect()}
+    for mid, r in dec.items():
+        assert r["format"] == "y4m" and r["decode_error"] is None
+        assert r["n_frames"] == (mid % 9000 + 1000) * 4 // 1000
+    frames = mm.sample_frames(media).collect()
+    assert len(frames) == sum(r["n_frames"] for r in dec.values())
+    # garbage payload -> zero rows, no stage failure
+    bad = media.withColumn("payload", F.lit(b"\x00nope"))
+    assert mm.sample_frames(bad).count() == 0
+    assert mm.decode_video(bad).filter(F.col("decode_error").isNotNull()).count() == 4
+
+
+def test_video_features_exact():
+    w, h, nf, seed = 18, 10, 4, 7
+    p = mm.y4m_bytes(w, h, nf, fps=4, seed=seed, pattern="arith")
+    fv = mm.video_feature_vec(p)
+    last_y = sum(
+        mm.arith_frame_px(seed, nf - 1, x, y, 0) for x in range(w) for y in range(h)
+    ) / (w * h)
+    assert fv[0] == float(nf) and fv[3] == last_y
+
+
 # ---------------- IVF: projection-only assignment ----------------
 
 
