@@ -137,6 +137,13 @@ CHECKS = {
         ("change rows fan out in one explode projection", r"Generate explode", "simple"),
         ("never all-pairs (no cartesian product anywhere)", r"CartesianProduct", "absent"),
     ],
+    "incremental_rollup": [
+        # the view is maintained from the FEED alone: one aggregation with
+        # map-side partials over the change rows, one key join into the
+        # prior materialization — never a rescan-shaped plan
+        ("delta is one aggregation with map-side partials", r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate", "simple"),
+        ("never all-pairs (no cartesian product anywhere)", r"CartesianProduct", "absent"),
+    ],
     "stratified_sample": [
         ("membership is one narrow filter — no shuffle, no count pass", None, "exchange==0"),
         ("no per-row Python anywhere (sha256 stays JVM-side)", r"BatchEvalPython|MapInPandas", "absent"),

@@ -550,15 +550,11 @@ def q_ivf_topk_indexed_fullprobe(spark, sf_dir):
     return out.select("query_id", "vec_id", "rank")
 
 
-def q_snapshot_changes(spark, sf_dir):
-    """Delta-CDF-style change feed between two REAL committed snapshots
-    (round 5): epoch 1 merges the first half of the change log (event_id
-    <= max/2; error winners tombstone), epoch 2 the rest;
-    IceliteTable.changes(s1, s2) emits insert / delete /
-    update_preimage / update_postimage rows reading ONLY buckets whose
-    file-entry lists differ between the snapshots (manifest pruning),
-    then one full-outer join + one filter/explode projection. The oracle
-    recomputes both LWW states in SQL and diffs them."""
+def _two_snapshot_table(spark, sf_dir):
+    """Shared harness for the change-feed queries: a REAL icelite table
+    (temp dir) with two committed snapshots — epoch 1 merges the first
+    half of the change log (event_id <= max/2; error winners tombstone),
+    epoch 2 the rest. Returns (tbl, s1, s2)."""
     import tempfile
 
     from pyspark.sql import types as T
@@ -593,8 +589,38 @@ def q_snapshot_changes(spark, sf_dir):
     )
     s1, _ = tbl.merge(chset(ev.filter(F.col("event_id") <= mid)))
     s2, _ = tbl.merge(chset(ev.filter(F.col("event_id") > mid)))
+    return tbl, s1, s2
+
+
+def q_snapshot_changes(spark, sf_dir):
+    """Delta-CDF-style change feed between two REAL committed snapshots
+    (round 5): IceliteTable.changes(s1, s2) emits insert / delete /
+    update_preimage / update_postimage rows reading ONLY buckets whose
+    file-entry lists differ between the snapshots (manifest pruning),
+    then one full-outer join + one filter/explode projection. The oracle
+    recomputes both LWW states in SQL and diffs them."""
+    tbl, s1, s2 = _two_snapshot_table(spark, sf_dir)
     return tbl.changes(s1, s2).select(
         "user_id", "event_type", "value", "ts_us", "_change_type"
+    )
+
+
+def q_incremental_rollup(spark, sf_dir):
+    """Incremental view maintenance off the change feed (round 5): a
+    per-event_type rollup (row count + value sum) materialized at
+    snapshot 1 is maintained to snapshot 2 by folding ONLY the feed's
+    signed deltas (plans/ivm.py) — the snapshot-2 table is never
+    rescanned. The oracle recomputes the snapshot-2 rollup from scratch,
+    so hash-equality proves incremental == recompute (sums rounded 4dp:
+    float addition order differs by construction)."""
+    from nifi_processors_spark.plans import ivm
+
+    tbl, s1, s2 = _two_snapshot_table(spark, sf_dir)
+    base = ivm.grouped_agg(tbl.read(s1), ["event_type"], ["value"])
+    delta = ivm.agg_delta(tbl.changes(s1, s2), ["event_type"], ["value"])
+    out = ivm.apply_agg_delta(base, delta, ["event_type"], ["value"])
+    return out.select(
+        "event_type", "n_rows", F.round("sum_value", 4).alias("sum_value")
     )
 
 
@@ -784,6 +810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_features": q_video_features,
         "velocity_methods": q_velocity_methods,
         "snapshot_changes": q_snapshot_changes,
+        "incremental_rollup": q_incremental_rollup,
         "stratified_sample": q_stratified_sample,
         "corpus_mix": q_corpus_mix,
         "ivf_topk_fullprobe": q_ivf_topk_fullprobe,
@@ -1341,6 +1368,17 @@ def oracle_sql() -> dict[str, str]:
             FROM w1 o JOIN w2 n USING (user_id)
             WHERE (o.event_type, o.value, o.ts_us)
                   IS DISTINCT FROM (n.event_type, n.value, n.ts_us)""",
+        "incremental_rollup": """
+            WITH ev AS (SELECT user_id, event_type, round(value, 2) AS value,
+                               epoch_us(ts) AS ts_us, event_id FROM events),
+                 w2 AS (SELECT user_id, event_type, value FROM (
+                          SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts_us DESC, event_id DESC) AS rn
+                          FROM ev)
+                        WHERE rn = 1 AND event_type <> 'error')
+            SELECT event_type, count(*)::BIGINT AS n_rows,
+                   round(sum(value), 4) AS sum_value
+            FROM w2 GROUP BY event_type""",
         "stratified_sample": f"""
             SELECT event_id, user_id, event_type FROM events
             WHERE ('0x' || substring(sha256(event_id::VARCHAR || '#s7'), 1, 15))::UBIGINT::BIGINT

@@ -1,0 +1,102 @@
+"""Incremental view maintenance (IVM) over the snapshot change feed.
+
+The point of a change feed at 100 TB is to never rescan the table: a
+downstream rollup (counts / sums per group) is kept current by folding
+the feed's deltas into the previous materialization. The algebra is the
+classic signed-multiset one — each feed row carries a sign
+(+1 for ``insert``/``update_postimage``, −1 for ``delete``/
+``update_preimage``), so an update contributes (−pre, +post) and the
+whole delta is one map-side-combinable aggregation OVER THE FEED ONLY
+(the touched fraction, already manifest-pruned by
+``IceliteTable.changes``). Merging delta into the previous view is one
+key join; groups whose row count reaches zero drop out.
+
+Maintained views use one schema convention so ``grouped_agg`` (the
+from-scratch build), ``agg_delta`` and ``apply_agg_delta`` compose:
+``group_cols + n_rows + sum_<value_col>...``.
+
+Exactness: ``n_rows`` is integer arithmetic — incremental equals
+recompute bit-for-bit. Float sums accumulate in a different order than
+a rescan, so compare them with a tolerance (or round), as the driver
+oracle does.
+
+No reference analogue (the reference streams rows, it has no
+materialized state at all); this is the Spark-native replacement for
+"re-run the aggregation flow" (SURVEY.md §2.12 change-feed family).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _view_cols(value_cols: list[str], count_col: str) -> list[str]:
+    return [count_col] + [f"sum_{c}" for c in value_cols]
+
+
+def grouped_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    value_cols: list[str],
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """The from-scratch materialization (used once at bootstrap; after
+    that, maintain with deltas)."""
+    return df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias(count_col),
+        *[F.sum(c).alias(f"sum_{c}") for c in value_cols],
+    )
+
+
+def agg_delta(
+    changes: DataFrame,
+    group_cols: list[str],
+    value_cols: list[str],
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Fold a change feed (``IceliteTable.changes`` output) into one
+    signed delta per group — a single aggregation over the feed, partial
+    map-side combine and all; the table itself is never touched."""
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    return changes.groupBy(*group_cols).agg(
+        F.sum(sign).alias(count_col),
+        *[F.sum(sign * F.col(c)).alias(f"sum_{c}") for c in value_cols],
+    )
+
+
+def apply_agg_delta(
+    view: DataFrame,
+    delta: DataFrame,
+    group_cols: list[str],
+    value_cols: list[str],
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Merge a signed delta into the previous materialization: one
+    null-safe full-outer key join (new groups enter via the delta side,
+    untouched groups pass through), sums add, and groups whose row count
+    hits zero vanish — the incremental result equals ``grouped_agg`` of
+    the new state."""
+    mcols = _view_cols(value_cols, count_col)
+    d = delta.select(
+        *[F.col(c).alias(f"_d_{c}") for c in group_cols],
+        *[F.col(c).alias(f"_d_{c}") for c in mcols],
+    )
+    cond = reduce(
+        lambda a, b: a & b,
+        [F.col(g).eqNullSafe(F.col(f"_d_{g}")) for g in group_cols],
+    )
+    merged = view.join(d, cond, "full_outer").select(
+        *[F.coalesce(F.col(g), F.col(f"_d_{g}")).alias(g) for g in group_cols],
+        *[
+            (
+                F.coalesce(F.col(c), F.lit(0)) + F.coalesce(F.col(f"_d_{c}"), F.lit(0))
+            ).alias(c)
+            for c in mcols
+        ],
+    )
+    return merged.filter(F.col(count_col) != 0)

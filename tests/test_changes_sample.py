@@ -119,6 +119,58 @@ def test_changes_key_mismatch_raises(spark, tbl, monkeypatch):
         tbl.changes(0, s1)
 
 
+# ---------------- incremental view maintenance ----------------
+
+
+IVM_SCHEMA = T.StructType([
+    T.StructField("k", T.LongType()),
+    T.StructField("g", T.StringType()),
+    T.StructField("x", T.DoubleType()),
+])
+
+
+def _ivm_chset(spark, rows, commit_seq):
+    df = spark.createDataFrame(rows, "k long, g string, x double, op string")
+    return df.select(
+        "k", "g", "x", "op",
+        F.lit(commit_seq).alias("commit_seq"), F.col("k").alias("event_seq"),
+    )
+
+
+def test_ivm_incremental_equals_recompute(spark, tmp_path):
+    """Folding the feed's signed deltas into the snapshot-1 view must
+    reproduce a from-scratch snapshot-2 aggregation: group move, delete,
+    group-vanish, new group, identical rewrite (no feed row), and an
+    untouched group all in one epoch."""
+    from nifi_processors_spark.plans import ivm
+
+    tbl = IceliteTable.create(
+        spark, str(tmp_path / "ivm"), IVM_SCHEMA, key=["k"], n_buckets=4
+    )
+    s1, _ = tbl.merge(_ivm_chset(spark, [
+        (1, "a", 1.0, "U"), (2, "a", 2.0, "U"), (3, "b", 3.0, "U"),
+        (4, "c", 4.0, "U"), (6, "e", 6.0, "U"),
+    ], 1))
+    s2, _ = tbl.merge(_ivm_chset(spark, [
+        (2, "b", 20.0, "U"),   # moves group a -> b
+        (3, "b", 0.0, "D"),    # delete inside b
+        (4, "c", 4.0, "D"),    # group c vanishes entirely
+        (5, "d", 5.0, "U"),    # new group d enters via the delta side
+        (1, "a", 1.5, "U"),    # in-place update within a
+        (6, "e", 6.0, "U"),    # identical rewrite -> NO feed row
+    ], 2))
+    base = ivm.grouped_agg(tbl.read(s1), ["g"], ["x"])
+    delta = ivm.agg_delta(tbl.changes(s1, s2), ["g"], ["x"])
+    inc = {r["g"]: (r["n_rows"], r["sum_x"])
+           for r in ivm.apply_agg_delta(base, delta, ["g"], ["x"]).collect()}
+    want = {r["g"]: (r["n_rows"], r["sum_x"])
+            for r in ivm.grouped_agg(tbl.read(s2), ["g"], ["x"]).collect()}
+    assert set(inc) == set(want) == {"a", "b", "d", "e"}
+    for g, (n, s) in want.items():
+        assert inc[g][0] == n
+        assert abs(inc[g][1] - s) < 1e-9
+
+
 # ---------------- deterministic sampling ----------------
 
 
