@@ -70,6 +70,15 @@ def main(argv: list[str] | None = None) -> int:
     rb_cmd.add_argument("--table", required=True)
     rb_cmd.add_argument("--buckets", type=int, required=True)
 
+    ch_cmd = sub.add_parser("changes", help="Delta-CDF-style change feed "
+                            "between two snapshots (manifest-pruned)")
+    ch_cmd.add_argument("--table", required=True)
+    ch_cmd.add_argument("--from-snapshot", type=int, required=True, dest="from_snapshot")
+    ch_cmd.add_argument("--to-snapshot", type=int, default=None, dest="to_snapshot",
+                        help="defaults to the current snapshot")
+    ch_cmd.add_argument("--out", default=None,
+                        help="write the feed as parquet here; omit to print a summary")
+
     gen_cmd = sub.add_parser("generate", help="write a deterministic synthetic changelog")
     gen_cmd.add_argument("--out", required=True)
     gen_cmd.add_argument("--events", type=int, default=100_000)
@@ -92,6 +101,26 @@ def main(argv: list[str] | None = None) -> int:
         before = t.snapshot()["n_buckets"]
         sid = t.rebucket(args.buckets)
         print(json.dumps({"snapshot_id": sid, "from": before, "to": args.buckets}))
+        return 0
+
+    if args.cmd == "changes":
+        from pyspark.sql import functions as F
+
+        from .plans.table import IceliteTable
+
+        t = IceliteTable(spark, args.table)
+        to_sid = (t.current_snapshot_id() if args.to_snapshot is None
+                  else args.to_snapshot)
+        feed = t.changes(args.from_snapshot, to_sid)
+        if args.out:
+            feed.write.mode("overwrite").parquet(args.out)
+            summary = spark.read.parquet(args.out)
+        else:
+            summary = feed
+        counts = {r["_change_type"]: r["n"] for r in
+                  summary.groupBy("_change_type").agg(F.count("*").alias("n")).collect()}
+        print(json.dumps({"from_snapshot": args.from_snapshot, "to_snapshot": to_sid,
+                          "written": args.out, "change_counts": counts}))
         return 0
 
     if args.cmd == "generate":

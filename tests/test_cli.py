@@ -25,6 +25,44 @@ def test_cli_roundtrip(spark, tmp_path, capsys):
     assert state["rows"] > 0 and "repo" in state["schema"]
 
 
+def test_cli_changes(spark, tmp_path, capsys):
+    """`changes` subcommand: feed counts between two snapshots, with and
+    without a parquet --out destination."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from nifi_processors_spark.plans.table import IceliteTable
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("v", T.StringType()),
+    ])
+    t = IceliteTable.create(spark, str(tmp_path / "t"), schema, key=["k"], n_buckets=4)
+
+    def chset(rows, seq):
+        df = spark.createDataFrame(rows, "k long, v string, op string")
+        return df.select("k", "v", "op", F.lit(seq).alias("commit_seq"),
+                         F.col("k").alias("event_seq"))
+
+    s1, _ = t.merge(chset([(1, "a", "U"), (2, "b", "U")], 1))
+    s2, _ = t.merge(chset([(2, "B", "U"), (1, "a", "D"), (3, "c", "U")], 2))
+    capsys.readouterr()
+    assert cli.main(["changes", "--table", str(tmp_path / "t"),
+                     "--from-snapshot", str(s1)]) == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["to_snapshot"] == s2 and rec["written"] is None
+    assert rec["change_counts"] == {
+        "update_preimage": 1, "update_postimage": 1, "delete": 1, "insert": 1}
+
+    out = str(tmp_path / "feed")
+    assert cli.main(["changes", "--table", str(tmp_path / "t"),
+                     "--from-snapshot", str(s1), "--to-snapshot", str(s2),
+                     "--out", out]) == 0
+    rec2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec2["written"] == out and rec2["change_counts"] == rec["change_counts"]
+    assert spark.read.parquet(out).count() == 4
+
+
 def test_cli_maintain(spark, tmp_path, capsys):
     """Ad-hoc maintenance pass: tombstone expiry + snapshot expiry through
     the CLI; meta/ shrinks and the watermark is recorded."""
