@@ -624,6 +624,20 @@ def q_incremental_rollup(spark, sf_dir):
     )
 
 
+def q_scan_prune(spark, sf_dir):
+    """Manifest-stats file skipping (round 5): IceliteTable.scan() plans
+    against footer-derived per-file min/max hoisted into the snapshot —
+    files whose range provably excludes the predicate are never opened
+    (delta-bearing buckets prune only wholesale: per-key LWW resolution
+    spans files, so dropping one could surface a stale version). The full
+    predicate is always applied residually, so the oracle — the LWW state
+    recomputed in SQL with the same filter — must match byte-for-byte
+    whether or not any file was skipped."""
+    tbl, s1, s2 = _two_snapshot_table(spark, sf_dir)
+    out = tbl.scan([("value", ">=", 450.0), ("event_type", "=", "purchase")])
+    return out.select("user_id", "event_type", "value", "ts_us")
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic per-stratum sampling (round 5): event_type strata at
     different rates via the sha256-derived integer-threshold hash —
@@ -811,6 +825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "velocity_methods": q_velocity_methods,
         "snapshot_changes": q_snapshot_changes,
         "incremental_rollup": q_incremental_rollup,
+        "scan_prune": q_scan_prune,
         "stratified_sample": q_stratified_sample,
         "corpus_mix": q_corpus_mix,
         "ivf_topk_fullprobe": q_ivf_topk_fullprobe,
@@ -1379,6 +1394,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*)::BIGINT AS n_rows,
                    round(sum(value), 4) AS sum_value
             FROM w2 GROUP BY event_type""",
+        "scan_prune": """
+            WITH ev AS (SELECT user_id, event_type, round(value, 2) AS value,
+                               epoch_us(ts) AS ts_us, event_id FROM events),
+                 w2 AS (SELECT user_id, event_type, value, ts_us FROM (
+                          SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts_us DESC, event_id DESC) AS rn
+                          FROM ev)
+                        WHERE rn = 1 AND event_type <> 'error')
+            SELECT user_id, event_type, value, ts_us FROM w2
+            WHERE value >= 450.0 AND event_type = 'purchase'""",
         "stratified_sample": f"""
             SELECT event_id, user_id, event_type FROM events
             WHERE ('0x' || substring(sha256(event_id::VARCHAR || '#s7'), 1, 15))::UBIGINT::BIGINT

@@ -65,6 +65,93 @@ def bucket_expr(key: list[str], n_buckets: int) -> Column:
     return F.pmod(F.xxhash64(*[F.col(c) for c in key]), F.lit(n_buckets)).cast("int")
 
 
+def _parquet_footer_stats(path: str) -> dict | None:
+    """Per-file column min/max + row count, read from the parquet FOOTER
+    (pure metadata, no data pages) — the Iceberg manifest-stats analogue:
+    the writer hoists what parquet already recorded into the snapshot so
+    query planning can skip files without opening any of them.
+
+    Local paths only: on a remote store the footer read belongs in the
+    writer task's commit message, not a driver round-trip per file; absent
+    stats simply disable pruning for that file (never correctness).
+    Columns whose stats any row group lacks, or whose min/max are not
+    JSON-portable scalars (int/float/str after utf-8 decode), are dropped.
+    """
+    if fsio.is_remote(path):
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+    except Exception:
+        return None
+    mins: dict[str, Any] = {}
+    maxs: dict[str, Any] = {}
+    bad: set[str] = set()
+
+    def _scalar(v: Any) -> Any:
+        if isinstance(v, bytes):
+            try:
+                return v.decode("utf-8")
+            except UnicodeDecodeError:
+                return None
+        if isinstance(v, bool) or not isinstance(v, (int, float, str)):
+            return None
+        return v
+
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if "." in name or name in bad:
+                continue
+            st = col.statistics
+            lo = _scalar(st.min) if st is not None and st.has_min_max else None
+            hi = _scalar(st.max) if st is not None and st.has_min_max else None
+            if lo is None or hi is None:
+                bad.add(name)
+                mins.pop(name, None)
+                maxs.pop(name, None)
+                continue
+            mins[name] = lo if name not in mins else min(mins[name], lo)
+            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+    if not mins:
+        return {"rows": md.num_rows} if md is not None else None
+    return {"rows": md.num_rows, "mins": mins, "maxs": maxs}
+
+
+_SCAN_OPS = ("=", "==", "<", "<=", ">", ">=")
+
+
+def _stats_exclude(fe: dict, col: str, op: str, v: Any) -> bool:
+    """True iff the file's manifest stats PROVE no row can satisfy
+    ``col op v``. Conservative: missing stats, unknown column, or a
+    cross-type comparison -> False (file is read). Null rows never satisfy
+    a comparison predicate (SQL three-valued logic), so excluding on the
+    non-null min/max range is always safe."""
+    st = fe.get("stats") or {}
+    mins, maxs = st.get("mins") or {}, st.get("maxs") or {}
+    if col not in mins or col not in maxs:
+        return False
+    lo, hi = mins[col], maxs[col]
+    mixed_num = isinstance(v, (int, float)) and isinstance(lo, (int, float))
+    if type(v) is not type(lo) and not mixed_num:
+        return False
+    try:
+        if op in ("=", "=="):
+            return v < lo or v > hi
+        if op == "<":
+            return lo >= v
+        if op == "<=":
+            return lo > v
+        if op == ">":
+            return hi <= v
+        return hi < v  # ">="
+    except TypeError:
+        return False
+
+
 def _group_head(key: list[str], w) -> Column:
     """Head-of-key-group predicate under a (key, seq desc) sort: no previous
     row, or ANY key part differs from it. eqNullSafe keeps the predicate
@@ -143,6 +230,26 @@ class IceliteTable:
         shuffle = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
         return max(1, min(n_affected, shuffle))
 
+    def _file_entry(self, path: str, schema_version: int, kind: str | None = None) -> dict:
+        """Manifest entry for a freshly written data file: path, size, the
+        schema version it was written under, and (local files) footer-derived
+        column min/max stats for scan-time file skipping."""
+        fe: dict = {"path": path, "schema_version": schema_version,
+                    "bytes": fsio.getsize(path)}
+        if kind:
+            fe["kind"] = kind
+        st = _parquet_footer_stats(path)
+        if st:
+            fe["stats"] = st
+        return fe
+
+    def _bucket_entries(self, bdir: str, schema_version: int, kind: str | None = None) -> list[dict]:
+        return [
+            self._file_entry(fsio.join(bdir, fn), schema_version, kind)
+            for fn in fsio.listdir(bdir)
+            if fn.endswith(".parquet")
+        ]
+
     def current_snapshot_id(self) -> int:
         # replace-safe pointer: on remote stores this resolves the newest
         # VERSION.<g> generation file — a reader never observes a missing
@@ -173,6 +280,7 @@ class IceliteTable:
         snapshot_id: int | None = None,
         buckets: list[int] | None = None,
         include_deleted: bool = False,
+        _keep: dict[str, list[dict]] | None = None,
     ) -> DataFrame:
         """Read current (or time-travel) state, remapping columns by field id.
 
@@ -192,7 +300,7 @@ class IceliteTable:
         # group files by the schema version they were written under
         by_ver: dict[str, list[str]] = {}
         has_delta = False
-        for b, files in snap["buckets"].items():
+        for b, files in (snap["buckets"] if _keep is None else _keep).items():
             if buckets is not None and int(b) not in buckets:
                 continue
             for fe in files:
@@ -224,6 +332,84 @@ class IceliteTable:
         if not include_deleted:
             out = out.filter(~F.coalesce(F.col("_deleted"), F.lit(False))).drop("_deleted")
         return out
+
+    # ---------------- stats-pruned scan (file skipping) ----------------
+
+    def _prune(self, snap: dict, filters: list[tuple[str, str, Any]]
+               ) -> tuple[dict[str, list[dict]], dict]:
+        """Manifest-stats file pruning for a conjunction of simple
+        predicates. Returns (kept bucket->files map, pruning report).
+
+        LWW-safety rule: in a bucket carrying DELTA files, per-key
+        resolution spans files, so dropping one file could surface a stale
+        version of a key whose winner lives in the dropped file. A
+        delta-bearing bucket is therefore pruned only WHOLESALE (every
+        file provably excluded -> no version of any key matches -> no
+        CURRENT row matches either). Base-only buckets prune per-file: a
+        key's rows live in exactly one base file (the merge writes a
+        bucket from a single task), so every surviving row is current.
+        """
+        kept: dict[str, list[dict]] = {}
+        report = {"files_total": 0, "files_kept": 0,
+                  "buckets_total": 0, "buckets_kept": 0}
+        for b, files in snap["buckets"].items():
+            if not files:
+                continue
+            report["buckets_total"] += 1
+            report["files_total"] += len(files)
+            has_delta = any(fe.get("kind", "base") == "delta" for fe in files)
+            survivors = [
+                fe for fe in files
+                if not any(_stats_exclude(fe, c, op, v) for (c, op, v) in filters)
+            ]
+            if has_delta and survivors:
+                survivors = files  # all-or-nothing for delta-bearing buckets
+            if survivors:
+                kept[b] = survivors
+                report["buckets_kept"] += 1
+                report["files_kept"] += len(survivors)
+        return kept, report
+
+    def scan(
+        self,
+        filters: list[tuple[str, str, Any]],
+        snapshot_id: int | None = None,
+        include_deleted: bool = False,
+    ) -> DataFrame:
+        """Filtered read with manifest-stats FILE SKIPPING — the Iceberg
+        scan-planning analogue. ``filters`` is a conjunction of
+        ``(column, op, literal)`` with op in {=, ==, <, <=, >, >=}; files
+        whose footer-derived min/max range provably excludes the predicate
+        are never opened (at 100 TB a selective scan touches the matching
+        fraction of files, not the table — driver-side planning is
+        O(files-in-manifest) dict work, no I/O). The full predicate is
+        ALWAYS applied residually to the surviving files, so pruning can
+        only skip work, never change results; files without stats (old
+        snapshots, remote writers) are simply read.
+        """
+        for c, op, _ in filters:
+            if op not in _SCAN_OPS:
+                raise ValueError(f"unsupported scan op {op!r} on {c!r} "
+                                 f"(supported: {_SCAN_OPS})")
+        snap = self.snapshot(snapshot_id)
+        kept, _ = self._prune(snap, filters)
+        df = self.read(snapshot_id=snapshot_id, include_deleted=include_deleted,
+                       _keep=kept)
+        ops = {"=": "==", "==": "==", "<": "<", "<=": "<=", ">": ">", ">=": ">="}
+        pred = F.lit(True)
+        for c, op, v in filters:
+            col = F.col(c)
+            pred = pred & {
+                "==": col == F.lit(v), "<": col < F.lit(v), "<=": col <= F.lit(v),
+                ">": col > F.lit(v), ">=": col >= F.lit(v),
+            }[ops[op]]
+        return df.filter(pred)
+
+    def scan_report(self, filters: list[tuple[str, str, Any]],
+                    snapshot_id: int | None = None) -> dict:
+        """Pruning report for ``scan(filters)``: files/buckets total vs
+        kept (observability + tests; no data is read)."""
+        return self._prune(self.snapshot(snapshot_id), filters)[1]
 
     # ---------------- change feed (snapshot diff) ----------------
 
@@ -415,16 +601,7 @@ class IceliteTable:
             b = entry.split("=", 1)[1]
             bdir = fsio.join(out_dir, entry)
             new_buckets.setdefault(b, [])
-            new_buckets[b] += [
-                {
-                    "path": fsio.join(bdir, fn),
-                    "schema_version": snap["schema_version"],
-                    "kind": "delta",
-                    "bytes": fsio.getsize(fsio.join(bdir, fn)),
-                }
-                for fn in fsio.listdir(bdir)
-                if fn.endswith(".parquet")
-            ]
+            new_buckets[b] += self._bucket_entries(bdir, snap["schema_version"], kind="delta")
         if written == 0:  # empty change-set discovered post-write
             return snap["snapshot_id"], {"affected_buckets": 0}
         n_affected = written if affected is None else len(affected)
@@ -502,15 +679,7 @@ class IceliteTable:
                 continue
             b = entry.split("=", 1)[1]
             bdir = fsio.join(out_dir, entry)
-            new_buckets[b] = [
-                {
-                    "path": fsio.join(bdir, fn),
-                    "schema_version": snap["schema_version"],
-                    "bytes": fsio.getsize(fsio.join(bdir, fn)),
-                }
-                for fn in fsio.listdir(bdir)
-                if fn.endswith(".parquet")
-            ]
+            new_buckets[b] = self._bucket_entries(bdir, snap["schema_version"])
         new_snap = dict(snap)
         new_snap.update(
             {
@@ -609,16 +778,7 @@ class IceliteTable:
                 continue
             b = int(entry.split("=", 1)[1])
             bdir = fsio.join(out_dir, entry)
-            files = [
-                {
-                    "path": fsio.join(bdir, fn),
-                    "schema_version": snap["schema_version"],
-                    "bytes": fsio.getsize(fsio.join(bdir, fn)),
-                }
-                for fn in fsio.listdir(bdir)
-                if fn.endswith(".parquet")
-            ]
-            new_buckets[str(b)] = files
+            new_buckets[str(b)] = self._bucket_entries(bdir, snap["schema_version"])
             written_buckets.add(b)
         # an affected bucket whose rows all got deleted writes no dir -> empty it
         for b in affected:
@@ -750,15 +910,7 @@ class IceliteTable:
                 continue
             b = entry.split("=", 1)[1]
             bdir = fsio.join(out_dir, entry)
-            new_buckets[b] = [
-                {
-                    "path": fsio.join(bdir, fn),
-                    "schema_version": snap["schema_version"],
-                    "bytes": fsio.getsize(fsio.join(bdir, fn)),
-                }
-                for fn in fsio.listdir(bdir)
-                if fn.endswith(".parquet")
-            ]
+            new_buckets[b] = self._bucket_entries(bdir, snap["schema_version"])
         new_snap = dict(snap)
         new_snap.update(
             {

@@ -1,0 +1,117 @@
+"""Manifest-stats file skipping (IceliteTable.scan): footer-derived
+min/max land in the snapshot, selective scans skip files without opening
+them, and pruning never changes results — including the LWW trap where a
+delta file moves a key OUT of the filter range."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nifi_processors_spark.plans.table import IceliteTable, bucket_expr
+
+SCHEMA = T.StructType([
+    T.StructField("k", T.LongType()),
+    T.StructField("v", T.LongType()),
+    T.StructField("s", T.StringType()),
+])
+
+
+def _chset(spark, rows, seq):
+    df = spark.createDataFrame(rows, "k long, v long, s string, op string")
+    return df.select("k", "v", "s", "op", F.lit(seq).alias("commit_seq"),
+                     F.col("k").alias("event_seq"))
+
+
+@pytest.fixture()
+def tbl(spark, tmp_path):
+    """8-bucket table where column v correlates with the bucket: each file's
+    [min,max] v-range is tight, so range predicates prune most files."""
+    t = IceliteTable.create(spark, str(tmp_path / "t"), SCHEMA, key=["k"],
+                            n_buckets=8)
+    keys = spark.range(0, 400).select(
+        F.col("id").alias("k"), bucket_expr(["k"], 8).alias("b"))
+    rows = [(r["k"], r["b"] * 1000 + r["k"] % 100, f"s{r['b']}", "U")
+            for r in keys.collect()]
+    t.merge(_chset(spark, rows, 1))
+    return t
+
+
+def test_stats_in_manifest(tbl, tmp_path):
+    snap = json.loads((tmp_path / "t" / "meta" / "v1.json").read_text())
+    files = [fe for fs in snap["buckets"].values() for fe in fs]
+    assert files
+    for fe in files:
+        st = fe["stats"]
+        assert st["rows"] > 0
+        assert set(st["mins"]) >= {"k", "v", "s", "_commit_seq"}
+        assert st["mins"]["v"] <= st["maxs"]["v"]
+        assert isinstance(st["mins"]["s"], str)
+    # _deleted is boolean -> deliberately not stat'd
+    assert "_deleted" not in files[0]["stats"]["mins"]
+
+
+def test_scan_prunes_and_matches_read(tbl):
+    filters = [("v", ">=", 6000)]
+    rep = tbl.scan_report(filters)
+    assert rep["files_kept"] < rep["files_total"]
+    assert rep["buckets_kept"] == 2  # buckets 6 and 7 only
+    got = sorted(r["k"] for r in tbl.scan(filters).collect())
+    want = sorted(r["k"] for r in tbl.read().filter(F.col("v") >= 6000).collect())
+    assert got == want and got
+    # conjunction narrows further; equality op; string stats prune too
+    assert tbl.scan([("v", ">=", 6000), ("v", "<", 7000)]).count() == \
+        tbl.read().filter((F.col("v") >= 6000) & (F.col("v") < 7000)).count()
+    rep_s = tbl.scan_report([("s", "=", "s3")])
+    assert rep_s["buckets_kept"] == 1
+    assert tbl.scan([("s", "=", "s3")]).count() == \
+        tbl.read().filter(F.col("s") == "s3").count()
+
+
+def test_scan_empty_and_unsupported_op(tbl):
+    assert tbl.scan([("v", ">", 10_000_000)]).count() == 0
+    assert tbl.scan_report([("v", ">", 10_000_000)])["files_kept"] == 0
+    with pytest.raises(ValueError, match="unsupported scan op"):
+        tbl.scan([("v", "!=", 1)])
+
+
+def test_delta_bucket_prunes_wholesale_lww_safe(spark, tmp_path):
+    """Base row (k=1, v=10); newer DELTA moves it to v=999. File-level
+    pruning would drop the delta file for scan(v=10) and surface the stale
+    base row; the wholesale rule keeps the bucket, LWW resolves, and the
+    residual filter drops the key. scan(v=999) finds the winner."""
+    t = IceliteTable.create(spark, str(tmp_path / "t2"), SCHEMA, key=["k"],
+                            n_buckets=2)
+    t.merge(_chset(spark, [(1, 10, "a", "U"), (2, 20, "b", "U")], 1))
+    t.merge_mor(_chset(spark, [(1, 999, "a2", "U")], 2))
+    assert t.scan([("v", "=", 10)]).count() == 0
+    got = t.scan([("v", "=", 999)]).collect()
+    assert [(r["k"], r["v"]) for r in got] == [(1, 999)]
+    # the delta-bearing bucket is kept or dropped whole
+    snap = t.snapshot()
+    kept, rep = t._prune(snap, [("v", "=", 999)])
+    for b, files in kept.items():
+        if any(fe.get("kind") == "delta" for fe in snap["buckets"][b]):
+            assert len(files) == len(snap["buckets"][b])
+    # a predicate excluded by EVERY file in the delta bucket drops it whole
+    kept2, _ = t._prune(snap, [("v", "=", -5)])
+    assert kept2 == {}
+
+
+def test_stats_absent_disables_pruning_not_results(spark, tmp_path):
+    """Entries without stats (old snapshots / remote writers) are always
+    read: strip stats from the manifest, scan still answers correctly and
+    the report keeps every file."""
+    t = IceliteTable.create(spark, str(tmp_path / "t3"), SCHEMA, key=["k"],
+                            n_buckets=2)
+    t.merge(_chset(spark, [(1, 10, "a", "U"), (2, 20, "b", "U")], 1))
+    vpath = tmp_path / "t3" / "meta" / "v1.json"
+    snap = json.loads(vpath.read_text())
+    for fs in snap["buckets"].values():
+        for fe in fs:
+            fe.pop("stats", None)
+    vpath.write_text(json.dumps(snap))
+    rep = t.scan_report([("v", "=", 10)])
+    assert rep["files_kept"] == rep["files_total"]
+    assert [r["k"] for r in t.scan([("v", "=", 10)]).collect()] == [1]
