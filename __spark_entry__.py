@@ -624,6 +624,51 @@ def q_incremental_rollup(spark, sf_dir):
     )
 
 
+def q_repetition_features(spark, sf_dir):
+    """Gopher-style per-document repetition signals (round 5): word
+    count, duplicate-word fraction, top-word share, top-bigram share —
+    one narrow JVM projection with the words/bigrams arrays staged as
+    bound columns (operators/text.py:with_repetition_features). The
+    DuckDB oracle recomputes all four from the same tokenization with
+    list lambdas."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.with_repetition_features(docs, "text").select(
+        "doc_id", "n_words", "dup_word_frac", "top_word_frac", "top_bigram_frac"
+    )
+
+
+def q_boilerplate_strip(spark, sf_dir):
+    """CCNet-style corpus boilerplate-line removal (round 5). The corpus
+    docs are single-line by construction, so the query first composes
+    multi-line 'pages' deterministically — 5 consecutive docs' texts as
+    lines plus an injected footer line on every page (the oracle builds
+    the identical pages in SQL) — then drops every line whose normalized
+    form occurs on >= 2 distinct pages (the footer everywhere; any
+    cross-page duplicate doc bodies too) and rejoins survivors in
+    original order (operators/lines.py)."""
+    from nifi_processors_spark.operators import lines as lines_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.groupBy(
+        F.floor(F.col("doc_id") / 5).cast("long").alias("page_id")
+    ).agg(
+        F.concat(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                    lambda s: s["text"],
+                ),
+            ),
+            F.lit("\n" + _PAGE_FOOTER),
+        ).alias("page_text")
+    )
+    return lines_ops.strip_boilerplate_lines(pages, "page_id", "page_text")
+
+
+_PAGE_FOOTER = "(c) example corp - all rights reserved"
+
+
 def q_scan_prune(spark, sf_dir):
     """Manifest-stats file skipping (round 5): IceliteTable.scan() plans
     against footer-derived per-file min/max hoisted into the snapshot —
@@ -634,7 +679,7 @@ def q_scan_prune(spark, sf_dir):
     recomputed in SQL with the same filter — must match byte-for-byte
     whether or not any file was skipped."""
     tbl, s1, s2 = _two_snapshot_table(spark, sf_dir)
-    out = tbl.scan([("value", ">=", 450.0), ("event_type", "=", "purchase")])
+    out = tbl.scan([("value", ">=", 80.0), ("event_type", "=", "purchase")])
     return out.select("user_id", "event_type", "value", "ts_us")
 
 
@@ -826,6 +871,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_changes": q_snapshot_changes,
         "incremental_rollup": q_incremental_rollup,
         "scan_prune": q_scan_prune,
+        "repetition_features": q_repetition_features,
+        "boilerplate_strip": q_boilerplate_strip,
         "stratified_sample": q_stratified_sample,
         "corpus_mix": q_corpus_mix,
         "ivf_topk_fullprobe": q_ivf_topk_fullprobe,
@@ -1394,6 +1441,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*)::BIGINT AS n_rows,
                    round(sum(value), 4) AS sum_value
             FROM w2 GROUP BY event_type""",
+        "repetition_features": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                 x -> x <> '') AS words
+              FROM documents),
+            c AS (
+              SELECT doc_id, words, len(words) AS nw,
+                     len(list_distinct(words)) AS ndw,
+                     list_transform(range(1, len(words)),
+                                    i -> words[i] || ' ' || words[i+1]) AS bg
+              FROM w)
+            SELECT doc_id, nw::BIGINT AS n_words,
+              round(CASE WHEN nw = 0 THEN 0.0
+                    ELSE (nw - ndw) / CAST(nw AS DOUBLE) END, 6) AS dup_word_frac,
+              round(CASE WHEN nw = 0 THEN 0.0
+                    ELSE list_max(list_transform(list_distinct(words),
+                         d -> len(list_filter(words, x -> x = d))))
+                         / CAST(nw AS DOUBLE) END, 6) AS top_word_frac,
+              round(CASE WHEN len(bg) = 0 THEN 0.0
+                    ELSE list_max(list_transform(list_distinct(bg),
+                         d -> len(list_filter(bg, x -> x = d))))
+                         / CAST(len(bg) AS DOUBLE) END, 6) AS top_bigram_frac
+            FROM c""",
+        "boilerplate_strip": r"""
+            WITH pages AS (
+              SELECT doc_id // 5 AS page_id,
+                     string_agg(text, chr(10) ORDER BY doc_id) || chr(10)
+                       || '(c) example corp - all rights reserved' AS page_text
+              FROM documents GROUP BY 1),
+            lns AS (
+              SELECT page_id,
+                     unnest(string_split(page_text, chr(10))) AS line,
+                     unnest(range(1, len(string_split(page_text, chr(10))) + 1)) AS pos
+              FROM pages),
+            norm AS (SELECT page_id, pos, line,
+                            trim(regexp_replace(lower(line), '\s+', ' ', 'g')) AS nline
+                     FROM lns),
+            boiler AS (
+              SELECT nline
+              FROM (SELECT DISTINCT page_id, nline FROM norm WHERE nline <> '')
+              GROUP BY nline HAVING count(*) >= 2),
+            kept AS (SELECT * FROM norm WHERE nline NOT IN (SELECT nline FROM boiler))
+            SELECT p.page_id, coalesce(k.clean_text, '') AS clean_text
+            FROM pages p LEFT JOIN (
+              SELECT page_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text
+              FROM kept GROUP BY page_id) k USING (page_id)""",
         "scan_prune": """
             WITH ev AS (SELECT user_id, event_type, round(value, 2) AS value,
                                epoch_us(ts) AS ts_us, event_id FROM events),
@@ -1403,7 +1497,7 @@ def oracle_sql() -> dict[str, str]:
                           FROM ev)
                         WHERE rn = 1 AND event_type <> 'error')
             SELECT user_id, event_type, value, ts_us FROM w2
-            WHERE value >= 450.0 AND event_type = 'purchase'""",
+            WHERE value >= 80.0 AND event_type = 'purchase'""",
         "stratified_sample": f"""
             SELECT event_id, user_id, event_type FROM events
             WHERE ('0x' || substring(sha256(event_id::VARCHAR || '#s7'), 1, 15))::UBIGINT::BIGINT

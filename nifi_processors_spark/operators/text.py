@@ -167,6 +167,69 @@ def rolling_prefix_hashes(c: Column, window: int = 64, step: int = 32, max_chunk
     )
 
 
+# ---------------- repetition signals (Gopher-style) ----------------
+
+
+def with_repetition_features(df, text_col: str, round_to: int | None = 6):
+    """Per-document repetition signals — the Gopher/RefinedWeb quality
+    gate's core features, as one narrow JVM projection (no shuffle, no
+    UDF):
+
+      * ``n_words``         word count (lowercase alpha tokenization)
+      * ``dup_word_frac``   1 - distinct/total words (word-level repetition)
+      * ``top_word_frac``   share of words taken by the single most
+                            frequent word
+      * ``top_bigram_frac`` share of word-bigrams taken by the most
+                            frequent bigram
+
+    The words/bigrams arrays are STAGED as bound columns before the
+    nested higher-order functions touch them (a HOF lambda re-evaluates
+    referenced outer subexpressions per element — unstaged, the split
+    would re-run O(distinct x n) times). The most-frequent scan is
+    O(distinct * n) per document — right for web/doc-sized text; for
+    pathological single-document gigabyte inputs explode + groupBy
+    instead. ``round_to`` rounds the fractions for cross-engine hash
+    stability (None keeps full doubles)."""
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda w: w != F.lit("")
+    )
+    df = df.withColumn("_rep_w", words)
+    n = F.size(F.col("_rep_w"))
+    df = df.withColumn(
+        "_rep_b",
+        F.zip_with(
+            F.slice(F.col("_rep_w"), F.lit(1), F.greatest(n - 1, F.lit(0))),
+            F.slice(F.col("_rep_w"), F.lit(2), F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    )
+
+    def _top_frac(arr: Column) -> Column:
+        total = F.size(arr)
+        top = F.array_max(
+            F.transform(
+                F.array_distinct(arr),
+                lambda d: F.size(F.filter(arr, lambda x: x == d)),
+            )
+        )
+        return F.when(total > 0, top.cast("double") / total).otherwise(F.lit(0.0))
+
+    def _rnd(c: Column) -> Column:
+        return F.round(c, round_to) if round_to is not None else c
+
+    dup = F.when(
+        n > 0,
+        (n - F.size(F.array_distinct(F.col("_rep_w")))).cast("double") / n,
+    ).otherwise(F.lit(0.0))
+    return (
+        df.withColumn("n_words", n.cast("long"))
+        .withColumn("dup_word_frac", _rnd(dup))
+        .withColumn("top_word_frac", _rnd(_top_frac(F.col("_rep_w"))))
+        .withColumn("top_bigram_frac", _rnd(_top_frac(F.col("_rep_b"))))
+        .drop("_rep_w", "_rep_b")
+    )
+
+
 # ---------------- PII scrubbing ----------------
 #
 # Corpus-prep redaction: mask the common machine-matchable identifiers
