@@ -144,6 +144,22 @@ CHECKS = {
         ("delta is one aggregation with map-side partials", r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate", "simple"),
         ("never all-pairs (no cartesian product anywhere)", r"CartesianProduct", "absent"),
     ],
+    "scan_prune": [
+        # manifest-stats pruning happened BEFORE the plan existed (fewer
+        # files in the scan); the residual predicate still reaches parquet
+        ("residual predicate pushed to the parquet scan", r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(value", "formatted"),
+        ("base-only read: no LWW resolution shuffle", None, "exchange==0"),
+    ],
+    "repetition_features": [
+        ("single narrow stage (no exchange)", None, "exchange==0"),
+        ("no per-row Python (HOF top-frequency stays JVM-side)", r"BatchEvalPython|MapInPandas", "absent"),
+        ("scan pruned to (doc_id, text)", r"ReadSchema: struct<doc_id:bigint,text:string>", "formatted"),
+    ],
+    "boilerplate_strip": [
+        ("line-frequency agg runs map-side partials", r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate", "simple"),
+        ("boilerplate filter is an anti-join on the line key", r"LeftAnti", "simple"),
+        ("never all-pairs (no cartesian product anywhere)", r"CartesianProduct", "absent"),
+    ],
     "stratified_sample": [
         ("membership is one narrow filter — no shuffle, no count pass", None, "exchange==0"),
         ("no per-row Python anywhere (sha256 stays JVM-side)", r"BatchEvalPython|MapInPandas", "absent"),

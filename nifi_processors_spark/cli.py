@@ -70,6 +70,14 @@ def main(argv: list[str] | None = None) -> int:
     rb_cmd.add_argument("--table", required=True)
     rb_cmd.add_argument("--buckets", type=int, required=True)
 
+    cl_cmd = sub.add_parser("cluster", help="sort-clustered rewrite: tight "
+                            "per-file ranges on the sort columns for scan pruning")
+    cl_cmd.add_argument("--table", required=True)
+    cl_cmd.add_argument("--by", required=True, action="append",
+                        help="sort column (repeatable, order matters)")
+    cl_cmd.add_argument("--max-rows-per-file", type=int, default=None,
+                        dest="max_rows_per_file")
+
     ch_cmd = sub.add_parser("changes", help="Delta-CDF-style change feed "
                             "between two snapshots (manifest-pruned)")
     ch_cmd.add_argument("--table", required=True)
@@ -101,6 +109,14 @@ def main(argv: list[str] | None = None) -> int:
         before = t.snapshot()["n_buckets"]
         sid = t.rebucket(args.buckets)
         print(json.dumps({"snapshot_id": sid, "from": before, "to": args.buckets}))
+        return 0
+
+    if args.cmd == "cluster":
+        from .plans.table import IceliteTable
+
+        t = IceliteTable(spark, args.table)
+        sid = t.cluster(args.by, max_rows_per_file=args.max_rows_per_file)
+        print(json.dumps({"snapshot_id": sid, "clustered_by": args.by}))
         return 0
 
     if args.cmd == "changes":

@@ -692,6 +692,71 @@ class IceliteTable:
         self._commit(new_snap)
         return new_sid
 
+    def cluster(
+        self,
+        sort_cols: list[str],
+        max_rows_per_file: int | None = None,
+        lineage: dict | None = None,
+    ) -> int:
+        """Sort-clustered rewrite (Z-order-lite, the Delta OPTIMIZE ZORDER
+        / Iceberg sort-order analogue for one dimension): resolve every
+        bucket, sort rows WITHIN each bucket by ``sort_cols``, and split
+        the sorted stream into files of at most ``max_rows_per_file`` rows
+        (``spark.sql.files.maxRecordsPerFile``). Consecutive files then
+        carry tight, nearly disjoint min/max ranges on the sort columns —
+        exactly what ``scan()``'s manifest-stats pruning needs: after
+        clustering on a query column, a selective range scan opens the
+        matching files, not the bucket. One exchange (the same
+        bucket-distribution the merge uses) + a sort-within-partitions;
+        bucket membership (hash of key) is untouched, so merges keep
+        working and the rewrite never moves a key across buckets.
+
+        Like full ``compact()`` this rewrites the table (resolving any
+        delta files on the way — clustered buckets are base-only, which
+        also re-arms per-FILE pruning); at 100 TB you run it per partition
+        of a far larger bucket count, or scope the read the same way
+        compact scopes its buckets."""
+        if not sort_cols:
+            raise ValueError("cluster() needs at least one sort column")
+        snap = self.snapshot()
+        key, nb = snap["key"], snap["n_buckets"]
+        non_empty = [b for b, fs in snap["buckets"].items() if fs]
+        if not non_empty:
+            return snap["snapshot_id"]
+        resolved = self.read(include_deleted=True)
+        new_sid = snap["snapshot_id"] + 1
+        out_dir = fsio.join(self.data_dir, f"snap{new_sid}")
+        clustered = (
+            resolved.withColumn("_bucket", bucket_expr(key, nb))
+            .repartition(self._merge_partitions(len(non_empty)), F.col("_bucket"))
+            .sortWithinPartitions("_bucket", *sort_cols)
+        )
+        writer = clustered.write.mode("overwrite").partitionBy("_bucket")
+        if max_rows_per_file is not None:
+            if max_rows_per_file < 1:
+                raise ValueError(f"max_rows_per_file must be >= 1, got {max_rows_per_file}")
+            writer = writer.option("maxRecordsPerFile", max_rows_per_file)
+        writer.parquet(out_dir)
+        new_buckets: dict[str, list] = {b: [] for b in snap["buckets"]}
+        for entry in fsio.listdir(out_dir):
+            if not entry.startswith("_bucket="):
+                continue
+            b = entry.split("=", 1)[1]
+            bdir = fsio.join(out_dir, entry)
+            new_buckets[b] = self._bucket_entries(bdir, snap["schema_version"])
+        new_snap = dict(snap)
+        new_snap.update(
+            {
+                "snapshot_id": new_sid,
+                "parent": snap["snapshot_id"],
+                "buckets": new_buckets,
+                "clustered_by": list(sort_cols),
+                "lineage": lineage or {"op": "cluster", "sort_cols": list(sort_cols)},
+            }
+        )
+        self._commit(new_snap)
+        return new_sid
+
     # ---------------- MERGE (copy-on-write, bucketed, LWW vs state) ----------------
 
     def merge(

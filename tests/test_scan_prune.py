@@ -99,6 +99,34 @@ def test_delta_bucket_prunes_wholesale_lww_safe(spark, tmp_path):
     assert kept2 == {}
 
 
+def test_cluster_tightens_file_ranges_for_pruning(spark, tmp_path):
+    """cluster(sort_cols, max_rows_per_file): inside each bucket the sorted
+    split yields files with near-disjoint ranges, so a range scan on the
+    cluster column opens a fraction of the files; results stay identical
+    and subsequent merges still work."""
+    t = IceliteTable.create(spark, str(tmp_path / "tc"), SCHEMA, key=["k"],
+                            n_buckets=2)
+    rows = [(k, (k * 37) % 1000, f"s{k % 7}", "U") for k in range(400)]
+    t.merge(_chset(spark, rows, 1))
+    before = t.scan_report([("v", "<", 100)])
+    assert before["files_kept"] == before["files_total"]  # unclustered: no help
+    sid = t.cluster(["v"], max_rows_per_file=25)
+    snap = t.snapshot()
+    assert snap["snapshot_id"] == sid and snap["clustered_by"] == ["v"]
+    rep = t.scan_report([("v", "<", 100)])
+    assert rep["files_total"] >= 8  # split actually happened
+    assert rep["files_kept"] <= rep["files_total"] // 2
+    got = sorted(r["k"] for r in t.scan([("v", "<", 100)]).collect())
+    want = sorted(r["k"] for r in t.read().filter(F.col("v") < 100).collect())
+    assert got == want and got
+    assert t.read().count() == 400
+    # merge after cluster: bucket membership unchanged, LWW intact
+    t.merge(_chset(spark, [(0, 5000, "z", "U")], 2))
+    assert t.read().filter("k = 0").collect()[0]["v"] == 5000
+    with pytest.raises(ValueError, match="at least one sort column"):
+        t.cluster([])
+
+
 def test_stats_absent_disables_pruning_not_results(spark, tmp_path):
     """Entries without stats (old snapshots / remote writers) are always
     read: strip stats from the manifest, scan still answers correctly and
