@@ -683,6 +683,20 @@ def q_scan_prune(spark, sf_dir):
     return out.select("user_id", "event_type", "value", "ts_us")
 
 
+def q_point_lookup(spark, sf_dir):
+    """Key-bucket point lookup (round 5): when the predicate pins the full
+    primary key with equality, IceliteTable.scan() collapses the candidate
+    set to the ONE hash bucket the key can occupy (xxhash64(key) %
+    n_buckets — the Iceberg bucket-transform partition-pruning analogue)
+    before stats pruning even starts; a point lookup on a 100 TB table
+    reads 1/n_buckets of the manifest at most. The oracle recomputes the
+    LWW state in SQL with the same equality filter, so hash-equality
+    proves bucket pruning never changes the answer."""
+    tbl, s1, s2 = _two_snapshot_table(spark, sf_dir)
+    out = tbl.scan([("user_id", "=", 42)])
+    return out.select("user_id", "event_type", "value", "ts_us")
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic per-stratum sampling (round 5): event_type strata at
     different rates via the sha256-derived integer-threshold hash —
@@ -871,6 +885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_changes": q_snapshot_changes,
         "incremental_rollup": q_incremental_rollup,
         "scan_prune": q_scan_prune,
+        "point_lookup": q_point_lookup,
         "repetition_features": q_repetition_features,
         "boilerplate_strip": q_boilerplate_strip,
         "stratified_sample": q_stratified_sample,
@@ -1498,6 +1513,16 @@ def oracle_sql() -> dict[str, str]:
                         WHERE rn = 1 AND event_type <> 'error')
             SELECT user_id, event_type, value, ts_us FROM w2
             WHERE value >= 80.0 AND event_type = 'purchase'""",
+        "point_lookup": """
+            WITH ev AS (SELECT user_id, event_type, round(value, 2) AS value,
+                               epoch_us(ts) AS ts_us, event_id FROM events),
+                 w2 AS (SELECT user_id, event_type, value, ts_us FROM (
+                          SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts_us DESC, event_id DESC) AS rn
+                          FROM ev)
+                        WHERE rn = 1 AND event_type <> 'error')
+            SELECT user_id, event_type, value, ts_us FROM w2
+            WHERE user_id = 42""",
         "stratified_sample": f"""
             SELECT event_id, user_id, event_type FROM events
             WHERE ('0x' || substring(sha256(event_id::VARCHAR || '#s7'), 1, 15))::UBIGINT::BIGINT

@@ -335,10 +335,42 @@ class IceliteTable:
 
     # ---------------- stats-pruned scan (file skipping) ----------------
 
+    def _key_bucket(self, snap: dict, filters: list[tuple[str, str, Any]]
+                    ) -> int | None:
+        """Point-lookup bucket pruning (the Iceberg bucket-transform
+        partition-pruning analogue): if the filter conjunction pins EVERY
+        key column with equality, the row can live in exactly one bucket —
+        ``xxhash64(key) % n_buckets`` — so a point lookup touches 1/n of
+        the table before stats pruning even starts. The bucket id is
+        computed with the very same ``bucket_expr`` the writers use, on a
+        one-row local DataFrame (a few ms of driver-side planning), so
+        hash parity with the data layout is by construction, not by a
+        reimplementation of xxhash64. Always LWW-safe: every version of a
+        key (base, delta, tombstone) lands in the same bucket."""
+        eq = {c: v for c, op, v in filters if op in ("=", "==")}
+        key = snap["key"]
+        if not key or not all(c in eq for c in key):
+            return None
+        fields = {f["name"]: f for f in snap["schemas"][str(snap["schema_version"])]}
+        if not all(c in fields for c in key):
+            return None
+        probe = self.spark.range(1).select(*[
+            F.lit(eq[c]).cast(_type_from_json(fields[c]["type"])).alias(c)
+            for c in key
+        ])
+        row = probe.select(
+            bucket_expr(key, snap["n_buckets"]).alias("b")
+        ).first()
+        return int(row["b"])
+
     def _prune(self, snap: dict, filters: list[tuple[str, str, Any]]
                ) -> tuple[dict[str, list[dict]], dict]:
         """Manifest-stats file pruning for a conjunction of simple
         predicates. Returns (kept bucket->files map, pruning report).
+
+        When the predicate pins the full primary key with equality, the
+        candidate set first collapses to the single hash bucket the key
+        can live in (``_key_bucket``); stats pruning then runs within it.
 
         LWW-safety rule: in a bucket carrying DELTA files, per-key
         resolution spans files, so dropping one file could surface a stale
@@ -352,11 +384,16 @@ class IceliteTable:
         kept: dict[str, list[dict]] = {}
         report = {"files_total": 0, "files_kept": 0,
                   "buckets_total": 0, "buckets_kept": 0}
+        kb = self._key_bucket(snap, filters)
+        if kb is not None:
+            report["key_bucket"] = kb
         for b, files in snap["buckets"].items():
             if not files:
                 continue
             report["buckets_total"] += 1
             report["files_total"] += len(files)
+            if kb is not None and int(b) != kb:
+                continue
             has_delta = any(fe.get("kind", "base") == "delta" for fe in files)
             survivors = [
                 fe for fe in files
@@ -382,7 +419,11 @@ class IceliteTable:
         whose footer-derived min/max range provably excludes the predicate
         are never opened (at 100 TB a selective scan touches the matching
         fraction of files, not the table — driver-side planning is
-        O(files-in-manifest) dict work, no I/O). The full predicate is
+        O(files-in-manifest) dict work, no I/O). A predicate that pins the
+        full key with equality additionally collapses to the ONE hash
+        bucket the key can occupy (``_key_bucket``) — the point-lookup
+        path reads 1/n_buckets of the manifest's files at most, before
+        stats pruning. The full predicate is
         ALWAYS applied residually to the surviving files, so pruning can
         only skip work, never change results; files without stats (old
         snapshots, remote writers) are simply read.

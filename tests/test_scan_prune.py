@@ -69,6 +69,38 @@ def test_scan_prunes_and_matches_read(tbl):
         tbl.read().filter(F.col("s") == "s3").count()
 
 
+def test_point_lookup_prunes_to_key_bucket(tbl):
+    """Equality on the full key collapses the scan to ONE hash bucket
+    (computed with the writers' own bucket_expr) before stats pruning."""
+    rep = tbl.scan_report([("k", "=", 37)])
+    assert "key_bucket" in rep
+    assert rep["buckets_kept"] <= 1
+    assert rep["buckets_total"] == 8
+    got = [(r["k"], r["v"]) for r in tbl.scan([("k", "=", 37)]).collect()]
+    want = [(r["k"], r["v"])
+            for r in tbl.read().filter(F.col("k") == 37).collect()]
+    assert got == want and got
+    # key equality + non-key predicate: residual filter still applies
+    assert tbl.scan([("k", "=", 37), ("v", ">", 10**9)]).count() == 0
+    # inequality on the key does NOT trigger the bucket collapse
+    assert "key_bucket" not in tbl.scan_report([("k", ">=", 0)])
+    # absent key: zero rows, at most one bucket touched
+    rep2 = tbl.scan_report([("k", "=", 10_000)])
+    assert rep2["buckets_kept"] <= 1
+    assert tbl.scan([("k", "=", 10_000)]).count() == 0
+
+
+def test_point_lookup_lww_safe_with_deltas(spark, tmp_path):
+    """Bucket pruning on the key keeps every file of the key's bucket when
+    deltas are present, so LWW still resolves to the newest version."""
+    t = IceliteTable.create(spark, str(tmp_path / "tp"), SCHEMA, key=["k"],
+                            n_buckets=4)
+    t.merge(_chset(spark, [(1, 10, "a", "U"), (2, 20, "b", "U")], 1))
+    t.merge_mor(_chset(spark, [(1, 999, "a2", "U")], 2))
+    got = t.scan([("k", "=", 1)]).collect()
+    assert [(r["k"], r["v"]) for r in got] == [(1, 999)]
+
+
 def test_scan_empty_and_unsupported_op(tbl):
     assert tbl.scan([("v", ">", 10_000_000)]).count() == 0
     assert tbl.scan_report([("v", ">", 10_000_000)])["files_kept"] == 0
