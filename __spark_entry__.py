@@ -683,6 +683,18 @@ def q_scan_prune(spark, sf_dir):
     return out.select("user_id", "event_type", "value", "ts_us")
 
 
+def q_rollback_read(spark, sf_dir):
+    """Snapshot rollback (round 5): after epoch 2 commits, rollback(s1)
+    restores the epoch-1 state as a NEW commit — no data rewritten (the
+    manifest is copied; files are immutable and shared), history intact,
+    readers see the restored state immediately. The oracle recomputes the
+    epoch-1 LWW state in SQL, so hash-equality proves the rollback commit
+    is byte-identical to the state it restores."""
+    tbl, s1, s2 = _two_snapshot_table(spark, sf_dir)
+    tbl.rollback(s1)
+    return tbl.read().select("user_id", "event_type", "value", "ts_us")
+
+
 def q_point_lookup(spark, sf_dir):
     """Key-bucket point lookup (round 5): when the predicate pins the full
     primary key with equality, IceliteTable.scan() collapses the candidate
@@ -886,6 +898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_rollup": q_incremental_rollup,
         "scan_prune": q_scan_prune,
         "point_lookup": q_point_lookup,
+        "rollback_read": q_rollback_read,
         "repetition_features": q_repetition_features,
         "boilerplate_strip": q_boilerplate_strip,
         "stratified_sample": q_stratified_sample,
@@ -1523,6 +1536,16 @@ def oracle_sql() -> dict[str, str]:
                         WHERE rn = 1 AND event_type <> 'error')
             SELECT user_id, event_type, value, ts_us FROM w2
             WHERE user_id = 42""",
+        "rollback_read": """
+            WITH mid AS (SELECT (max(event_id) // 2) AS m FROM events),
+                 ev AS (SELECT user_id, event_type, round(value, 2) AS value,
+                               epoch_us(ts) AS ts_us, event_id FROM events),
+                 w1 AS (SELECT user_id, event_type, value, ts_us FROM (
+                          SELECT e.*, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts_us DESC, event_id DESC) AS rn
+                          FROM ev e, mid WHERE event_id <= m)
+                        WHERE rn = 1 AND event_type <> 'error')
+            SELECT user_id, event_type, value, ts_us FROM w1""",
         "stratified_sample": f"""
             SELECT event_id, user_id, event_type FROM events
             WHERE ('0x' || substring(sha256(event_id::VARCHAR || '#s7'), 1, 15))::UBIGINT::BIGINT

@@ -87,6 +87,27 @@ def main(argv: list[str] | None = None) -> int:
     ch_cmd.add_argument("--out", default=None,
                         help="write the feed as parquet here; omit to print a summary")
 
+    ro_cmd = sub.add_parser("rollback", help="roll back to a previous snapshot "
+                            "as a new commit (no data rewritten; history kept)")
+    ro_cmd.add_argument("--table", required=True)
+    ro_cmd.add_argument("--to-snapshot", type=int, required=True, dest="to_snapshot")
+
+    tg_cmd = sub.add_parser("tag", help="set / list / drop named snapshot refs")
+    tg_cmd.add_argument("--table", required=True)
+    tg_cmd.add_argument("--name", default=None,
+                        help="ref name to set (omit to just list refs)")
+    tg_cmd.add_argument("--snapshot", type=int, default=None,
+                        help="snapshot id (defaults to current)")
+    tg_cmd.add_argument("--drop", action="store_true",
+                        help="drop --name instead of setting it")
+
+    pb_cmd = sub.add_parser("publish", help="fast-forward VERSION to a snapshot "
+                            "staged with publish=False (write-audit-publish)")
+    pb_cmd.add_argument("--table", required=True)
+    pb_cmd.add_argument("--snapshot", type=int, required=True)
+    pb_cmd.add_argument("--abort", action="store_true",
+                        help="discard the staged snapshot instead of publishing")
+
     gen_cmd = sub.add_parser("generate", help="write a deterministic synthetic changelog")
     gen_cmd.add_argument("--out", required=True)
     gen_cmd.add_argument("--events", type=int, default=100_000)
@@ -137,6 +158,37 @@ def main(argv: list[str] | None = None) -> int:
                   summary.groupBy("_change_type").agg(F.count("*").alias("n")).collect()}
         print(json.dumps({"from_snapshot": args.from_snapshot, "to_snapshot": to_sid,
                           "written": args.out, "change_counts": counts}))
+        return 0
+
+    if args.cmd == "rollback":
+        from .plans.table import IceliteTable
+
+        t = IceliteTable(spark, args.table)
+        sid = t.rollback(args.to_snapshot)
+        print(json.dumps({"snapshot_id": sid, "restored": args.to_snapshot}))
+        return 0
+
+    if args.cmd == "tag":
+        from .plans.table import IceliteTable
+
+        t = IceliteTable(spark, args.table)
+        if args.name and args.drop:
+            t.drop_ref(args.name)
+        elif args.name:
+            t.set_ref(args.name, args.snapshot)
+        print(json.dumps({"refs": t.refs()}))
+        return 0
+
+    if args.cmd == "publish":
+        from .plans.table import IceliteTable
+
+        t = IceliteTable(spark, args.table)
+        if args.abort:
+            t.abort_staged(args.snapshot)
+            print(json.dumps({"aborted": args.snapshot}))
+        else:
+            t.publish_snapshot(args.snapshot)
+            print(json.dumps({"published": args.snapshot}))
         return 0
 
     if args.cmd == "generate":

@@ -593,6 +593,7 @@ class IceliteTable:
         changes: DataFrame,
         lineage: dict | None = None,
         affected: list[int] | None = None,
+        publish: bool = True,
     ) -> tuple[int, dict]:
         """Merge-on-read MERGE: append the change rows as *delta* files for
         their buckets — NO read of existing data, NO shuffle of the table.
@@ -655,7 +656,7 @@ class IceliteTable:
                 "lineage": lineage or {"op": "merge_mor"},
             }
         )
-        self._commit(new_snap)
+        self._commit(new_snap, publish=publish)
         return new_sid, {"affected_buckets": n_affected, "snapshot_id": new_sid}
 
     def delta_file_count(self) -> int:
@@ -805,6 +806,7 @@ class IceliteTable:
         changes: DataFrame,
         lineage: dict | None = None,
         affected: list[int] | None = None,
+        publish: bool = True,
     ) -> tuple[int, dict]:
         """Apply a change-set with columns ``key + data columns (current
         names) + op + commit_seq + event_seq``. Multiple rows per key are
@@ -820,6 +822,13 @@ class IceliteTable:
         ``affected`` (bucket ids the change-set touches) can be passed by a
         caller that already aggregated per-bucket stats, saving one job.
         Returns (new_snapshot_id, merge_stats).
+
+        ``publish=False`` STAGES the commit (write-audit-publish): the
+        snapshot metadata and data are fully written but the VERSION
+        pointer does not move, so no reader observes the epoch until
+        ``publish_snapshot(sid)`` fast-forwards it; ``abort_staged(sid)``
+        discards it. One staged snapshot at a time — any later published
+        commit re-bases off the published head and invalidates the stage.
         """
         snap = self.snapshot()
         key = snap["key"]
@@ -901,7 +910,7 @@ class IceliteTable:
                 "lineage": lineage or {"op": "merge"},
             }
         )
-        self._commit(new_snap)
+        self._commit(new_snap, publish=publish)
         return new_sid, stats
 
     def expire_snapshots(self, keep_last: int = 2) -> list[int]:
@@ -1034,10 +1043,95 @@ class IceliteTable:
 
     # ---------------- commit ----------------
 
-    def _commit(self, snap: dict) -> None:
+    def _commit(self, snap: dict, publish: bool = True) -> None:
         sid = snap["snapshot_id"]
         _atomic_write_json(fsio.join(self.meta_dir, f"v{sid}.json"), snap)
-        fsio.publish_json(fsio.join(self.meta_dir, "VERSION"), sid)
+        if publish:
+            fsio.publish_json(fsio.join(self.meta_dir, "VERSION"), sid)
+
+    # ---------------- refs, rollback, write-audit-publish ----------------
+
+    def rollback(self, snapshot_id: int, lineage: dict | None = None) -> int:
+        """Roll the table back to a previous snapshot — as a NEW commit
+        (Iceberg semantics): the new snapshot's manifest is a copy of the
+        target's, so no data is rewritten or deleted (files are immutable
+        and shared), history is preserved, and the change feed sees the
+        rollback as ordinary inserts/deletes/updates. The bad snapshots
+        stay readable by id until ``expire_snapshots`` reaps them."""
+        target = self.snapshot(snapshot_id)  # raises if absent
+        cur = self.snapshot()
+        if snapshot_id == cur["snapshot_id"]:
+            return snapshot_id
+        new_snap = dict(target)
+        new_snap.update({
+            "snapshot_id": cur["snapshot_id"] + 1,
+            "parent": cur["snapshot_id"],
+            "lineage": lineage or {"op": "rollback", "to": snapshot_id},
+        })
+        self._commit(new_snap)
+        return new_snap["snapshot_id"]
+
+    def refs(self) -> dict[str, int]:
+        """Named refs (tags): a replace-safe pointer file mapping
+        name -> snapshot_id. Tagged snapshots read via
+        ``read(snapshot_id=resolve_ref(name))`` — reproducibility pins
+        for training runs ("the corpus as of tag v1")."""
+        return fsio.load_json(fsio.join(self.meta_dir, "REFS"), default={})
+
+    def set_ref(self, name: str, snapshot_id: int | None = None) -> int:
+        sid = self.current_snapshot_id() if snapshot_id is None else snapshot_id
+        self.snapshot(sid)  # validate it exists
+        refs = self.refs()
+        refs[name] = sid
+        fsio.publish_json(fsio.join(self.meta_dir, "REFS"), refs)
+        return sid
+
+    def drop_ref(self, name: str) -> None:
+        refs = self.refs()
+        if name in refs:
+            del refs[name]
+            fsio.publish_json(fsio.join(self.meta_dir, "REFS"), refs)
+
+    def resolve_ref(self, name: str) -> int:
+        refs = self.refs()
+        if name not in refs:
+            raise KeyError(f"unknown ref {name!r} (have: {sorted(refs)})")
+        return refs[name]
+
+    def publish_snapshot(self, snapshot_id: int) -> int:
+        """Write-audit-publish, step 3: fast-forward the VERSION pointer to
+        a snapshot staged with ``merge(..., publish=False)``. The staged
+        snapshot must descend from the current published one (parent-chain
+        walk) — publishing can only move history forward, never sideways.
+        Until this call, no reader observes the staged data."""
+        cur = self.current_snapshot_id()
+        sid = snapshot_id
+        while sid is not None and sid != cur:
+            sid = self.snapshot(sid)["parent"]
+        if sid != cur:
+            raise ValueError(
+                f"snapshot {snapshot_id} does not descend from published {cur}")
+        fsio.publish_json(fsio.join(self.meta_dir, "VERSION"), snapshot_id)
+        return snapshot_id
+
+    def abort_staged(self, snapshot_id: int) -> None:
+        """Write-audit-publish, failure path: discard a staged (never
+        published) snapshot — its metadata file and the data directory its
+        commit wrote. Refuses if the snapshot is published or referenced
+        by the published chain."""
+        cur = self.current_snapshot_id()
+        sid = cur
+        while sid is not None:
+            if sid == snapshot_id:
+                raise ValueError(f"snapshot {snapshot_id} is published — "
+                                 "use rollback(), not abort_staged()")
+            sid = self.snapshot(sid)["parent"]
+        ddir = fsio.join(self.data_dir, f"snap{snapshot_id}")
+        if fsio.exists(ddir):
+            fsio.rmtree(ddir)
+        mpath = fsio.join(self.meta_dir, f"v{snapshot_id}.json")
+        if fsio.exists(mpath):
+            fsio.remove(mpath)
 
 
 def _resolve_lww(df: DataFrame, key: list[str], n_buckets: int) -> DataFrame:

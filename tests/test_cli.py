@@ -89,3 +89,43 @@ def test_cli_maintain(spark, tmp_path, capsys):
     assert t.snapshot()["tombstone_watermark"] == 1
     assert len(os.listdir(tmp_path / "t" / "meta")) < n_meta_before + 1
     assert t.read().count() > 0
+
+
+def test_cli_rollback_tag_publish(spark, tmp_path, capsys):
+    """rollback / tag / publish subcommands over a real table."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from nifi_processors_spark.plans.table import IceliteTable
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("v", T.LongType()),
+    ])
+    path = str(tmp_path / "t")
+    t = IceliteTable.create(spark, path, schema, key=["k"], n_buckets=2)
+
+    def chset(rows, seq):
+        df = spark.createDataFrame(rows, "k long, v long, op string")
+        return df.select("k", "v", "op", F.lit(seq).alias("commit_seq"),
+                         F.col("k").alias("event_seq"))
+
+    t.merge(chset([(1, 10, "U")], 1))
+    t.merge(chset([(1, 99, "U")], 2))
+    capsys.readouterr()
+    assert cli.main(["tag", "--table", path, "--name", "good",
+                     "--snapshot", "1"]) == 0
+    assert cli.main(["rollback", "--table", path, "--to-snapshot", "1"]) == 0
+    out = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert out[0]["refs"] == {"good": 1}
+    assert out[1] == {"snapshot_id": 3, "restored": 1}
+    assert [r["v"] for r in t.read().collect()] == [10]
+    # WAP via CLI: stage in code, publish via CLI
+    staged, _ = t.merge(chset([(2, 20, "U")], 3), publish=False)
+    assert cli.main(["publish", "--table", path, "--snapshot", str(staged)]) == 0
+    assert t.current_snapshot_id() == staged
+    staged2, _ = t.merge(chset([(3, -1, "U")], 4), publish=False)
+    assert cli.main(["publish", "--table", path, "--snapshot", str(staged2),
+                     "--abort"]) == 0
+    assert t.current_snapshot_id() == staged
+    assert cli.main(["tag", "--table", path, "--name", "good", "--drop"]) == 0
