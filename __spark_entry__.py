@@ -709,6 +709,22 @@ def q_point_lookup(spark, sf_dir):
     return out.select("user_id", "event_type", "value", "ts_us")
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (round 5): per training doc, the count of
+    its distinct word 3-grams that appear anywhere in a held-out
+    benchmark slice (doc_id % 97 == 0), flagged at >= 3 overlaps. The
+    benchmark gram set is BROADCAST (eval sets are MBs against a 100 TB
+    corpus — the probe is map-side, no corpus shuffle on the gram key);
+    the only exchange is the per-doc count. The oracle rebuilds the same
+    grams with DuckDB list functions, so hash-equality pins tokenization,
+    gram construction, and the zero-overlap left-join semantics."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    out = text.ngram_overlap(train, bench, n=3, min_overlap=3)
+    return out.select("doc_id", "n_overlap", "contaminated")
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic per-stratum sampling (round 5): event_type strata at
     different rates via the sha256-derived integer-threshold hash —
@@ -899,6 +915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_prune": q_scan_prune,
         "point_lookup": q_point_lookup,
         "rollback_read": q_rollback_read,
+        "decontaminate": q_decontaminate,
         "repetition_features": q_repetition_features,
         "boilerplate_strip": q_boilerplate_strip,
         "stratified_sample": q_stratified_sample,
@@ -1546,6 +1563,26 @@ def oracle_sql() -> dict[str, str]:
                           FROM ev e, mid WHERE event_id <= m)
                         WHERE rn = 1 AND event_type <> 'error')
             SELECT user_id, event_type, value, ts_us FROM w1""",
+        "decontaminate": """
+            WITH bw AS (SELECT list_filter(regexp_split_to_array(lower(text),
+                               '[^a-z]+'), x -> x <> '') AS words
+                        FROM documents WHERE doc_id % 97 = 0),
+                 bg AS (SELECT DISTINCT unnest(CASE WHEN len(words) >= 3
+                            THEN list_transform(range(1, len(words) - 1),
+                                 i -> array_to_string(list_slice(words, i, i + 2), ' '))
+                            ELSE []::VARCHAR[] END) AS gram FROM bw),
+                 tw AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+                               '[^a-z]+'), x -> x <> '') AS words
+                        FROM documents WHERE doc_id % 97 <> 0),
+                 tg AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(words) >= 3
+                            THEN list_transform(range(1, len(words) - 1),
+                                 i -> array_to_string(list_slice(words, i, i + 2), ' '))
+                            ELSE []::VARCHAR[] END)) AS gram FROM tw),
+                 h AS (SELECT doc_id, count(*) AS n_overlap
+                       FROM tg JOIN bg USING (gram) GROUP BY doc_id)
+            SELECT t.doc_id, coalesce(h.n_overlap, 0)::BIGINT AS n_overlap,
+                   coalesce(h.n_overlap, 0) >= 3 AS contaminated
+            FROM (SELECT doc_id FROM tw) t LEFT JOIN h USING (doc_id)""",
         "stratified_sample": f"""
             SELECT event_id, user_id, event_type FROM events
             WHERE ('0x' || substring(sha256(event_id::VARCHAR || '#s7'), 1, 15))::UBIGINT::BIGINT

@@ -267,3 +267,78 @@ def pii_counts(c: Column) -> dict[str, Column]:
         out[tag] = F.regexp_count(cur, F.lit(pat)).cast("long")
         cur = F.regexp_replace(cur, pat, repl)
     return out
+
+
+# ---------------- benchmark decontamination (n-gram overlap) ----------------
+
+
+def with_word_ngrams(df, text_col: str, n: int, out_col: str = "_grams"):
+    """Stage the DISTINCT word n-grams of ``text_col`` as an array column
+    (lowercase alpha tokenization, the corpus-wide convention). The words
+    array is staged as a bound column before the gram-building HOF touches
+    it (HOF lambdas re-evaluate referenced outer subexpressions per
+    element). Narrow projection, no shuffle."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    df = df.withColumn(
+        "_ng_w",
+        F.filter(F.split(F.lower(F.col(text_col)), "[^a-z]+"),
+                 lambda w: w != F.lit("")),
+    )
+    nw = F.size(F.col("_ng_w"))
+    # sequence(1, stop) DESCENDS when stop < 1 — guard short docs to []
+    idx = F.when(nw >= n, F.sequence(F.lit(1), nw - n + 1)) \
+        .otherwise(F.array().cast("array<int>"))
+    grams = F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(F.col("_ng_w"), i, n)))
+    )
+    return df.withColumn(out_col, grams).drop("_ng_w")
+
+
+def ngram_overlap(docs, bench, n: int = 3, min_overlap: int = 1,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  bench_text_col: str | None = None):
+    """Benchmark decontamination (the PaLM/GPT-3 eval-overlap gate): per
+    training document, count how many of its DISTINCT word n-grams appear
+    anywhere in the benchmark/eval set, and flag docs at ``min_overlap``
+    or more as contaminated.
+
+    Scale shape: the benchmark side is eval data — MBs against a 100 TB
+    corpus — so its distinct-gram set is built once and BROADCAST; each
+    corpus partition probes it map-side (gram explode -> broadcast hash
+    join, no corpus shuffle on the gram key). The only exchange is the
+    per-doc count groupBy on ``id_col``. explode_outer keeps gram-less
+    docs (empty/short text) in the output with n_overlap = 0.
+
+    Returns the slim frame (id_col, n_overlap, contaminated) — anti-join
+    it against the corpus to drop contaminated docs (decontaminate())."""
+    bench_text_col = bench_text_col or text_col
+    bgrams = (
+        with_word_ngrams(bench, bench_text_col, n)
+        .select(F.explode("_grams").alias("gram")).distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    exploded = (
+        with_word_ngrams(docs, text_col, n)
+        .select(id_col, F.explode_outer("_grams").alias("gram"))
+    )
+    return (
+        exploded.join(F.broadcast(bgrams), "gram", "left")
+        .groupBy(id_col)
+        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_overlap"))
+        .withColumn("contaminated", F.col("n_overlap") >= F.lit(min_overlap))
+    )
+
+
+def decontaminate(docs, bench, n: int = 3, min_overlap: int = 1,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  bench_text_col: str | None = None):
+    """Drop documents contaminated by the benchmark set (ngram_overlap
+    flags, then a broadcast anti-join — the contaminated id set is a
+    small fraction of the corpus by construction; if an eval set ever
+    flagged most of a corpus the corpus itself is the problem)."""
+    flagged = ngram_overlap(docs, bench, n=n, min_overlap=min_overlap,
+                            text_col=text_col, id_col=id_col,
+                            bench_text_col=bench_text_col)
+    bad = flagged.filter(F.col("contaminated")).select(id_col)
+    return docs.join(F.broadcast(bad), id_col, "left_anti")

@@ -381,3 +381,46 @@ def test_pii_scrub(spark):
     assert got[1][1:] == (0, 0, 3)
     # short numbers and dotted versions survive
     assert got[2] == ("clean text with number 42 and version 1.2.3", 0, 0, 0)
+
+
+def test_ngram_overlap_decontaminate(spark):
+    """Benchmark decontamination: overlap counts are exact distinct-gram
+    intersections; short/empty docs survive with 0; decontaminate drops
+    exactly the flagged ids."""
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "lorem ipsum dolor sit amet consectetur"),
+         (3, "quick brown fox is quick brown fox"),  # 2 distinct bench grams? see below
+         (4, "hi"),          # shorter than n -> zero grams
+         (5, "")],           # empty -> zero grams
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "a quick brown fox appeared"),
+         (101, "over the lazy dog he went")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_overlap"], r["contaminated"])
+           for r in text.ngram_overlap(train, bench, n=3, min_overlap=2).collect()}
+    # doc 1 grams hitting bench: 'quick brown fox', 'over the lazy',
+    # 'the lazy dog' -> 3; doc 3: 'quick brown fox' (distinct) -> 1
+    assert out[1] == (3, True)
+    assert out[2] == (0, False)
+    assert out[3] == (1, False)
+    assert out[4] == (0, False) and out[5] == (0, False)
+    kept = sorted(r["doc_id"] for r in
+                  text.decontaminate(train, bench, n=3, min_overlap=2).collect())
+    assert kept == [2, 3, 4, 5]
+    with pytest.raises(ValueError, match="n must be"):
+        text.with_word_ngrams(train, "text", 0)
+
+
+def test_ngram_overlap_plan_is_broadcast(spark):
+    """The bench gram probe must be a broadcast join (no corpus shuffle on
+    the gram key); the only exchange is the per-doc count groupBy."""
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma delta epsilon zeta "),
+                 F.col("id").cast("string")).alias("text"))
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    plan = text.ngram_overlap(docs, bench, n=3)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
