@@ -150,6 +150,23 @@ CHECKS = {
         ("residual predicate pushed to the parquet scan", r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(value", "formatted"),
         ("base-only read: no LWW resolution shuffle", None, "exchange==0"),
     ],
+    "point_lookup": [
+        # key-bucket pruning happened BEFORE the plan existed (one bucket's
+        # files in the scan); the residual key equality still reaches parquet
+        ("residual key equality pushed to the parquet scan", r"PushedFilters: \[[^\]]*EqualTo\(user_id", "formatted"),
+        ("base-only read of one bucket: no LWW resolution shuffle", None, "exchange==0"),
+    ],
+    "rollback_read": [
+        # a rollback commit only copies the manifest — the restored read is
+        # a plain base scan, no resolution shuffle, no rewrite artifacts
+        ("restored snapshot reads as a plain base scan (no exchange)", None, "exchange==0"),
+    ],
+    "decontaminate": [
+        ("bench gram probe is a broadcast join (no corpus shuffle on gram)", r"BroadcastHashJoin", "simple"),
+        ("per-doc count runs map-side partials", r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate", "simple"),
+        ("never all-pairs (no cartesian product anywhere)", r"CartesianProduct", "absent"),
+        ("no per-row Python anywhere (grams stay JVM-side)", r"BatchEvalPython|MapInPandas", "absent"),
+    ],
     "repetition_features": [
         ("single narrow stage (no exchange)", None, "exchange==0"),
         ("no per-row Python (HOF top-frequency stays JVM-side)", r"BatchEvalPython|MapInPandas", "absent"),
