@@ -709,6 +709,17 @@ def q_point_lookup(spark, sf_dir):
     return out.select("user_id", "event_type", "value", "ts_us")
 
 
+def q_metadata_count(spark, sf_dir):
+    """Metadata-only COUNT(*) (round 5): live-row counts answered from the
+    manifest's _deleted boolean footer stats — at 100 TB the common case
+    touches zero data files — with a residual scan ONLY over buckets
+    metadata cannot prove (here: the buckets whose files mix live rows
+    with error-event tombstones). The oracle counts the LWW state in SQL;
+    equality proves the hybrid metadata+scan count never miscounts."""
+    tbl, s1, s2 = _two_snapshot_table(spark, sf_dir)
+    return spark.createDataFrame([(tbl.count_rows(),)], "n_rows long")
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination (round 5): per training doc, the count of
     its distinct word 3-grams that appear anywhere in a held-out
@@ -915,6 +926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_prune": q_scan_prune,
         "point_lookup": q_point_lookup,
         "rollback_read": q_rollback_read,
+        "metadata_count": q_metadata_count,
         "decontaminate": q_decontaminate,
         "repetition_features": q_repetition_features,
         "boilerplate_strip": q_boilerplate_strip,
@@ -1563,6 +1575,15 @@ def oracle_sql() -> dict[str, str]:
                           FROM ev e, mid WHERE event_id <= m)
                         WHERE rn = 1 AND event_type <> 'error')
             SELECT user_id, event_type, value, ts_us FROM w1""",
+        "metadata_count": """
+            WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+                               event_id FROM events),
+                 w2 AS (SELECT user_id FROM (
+                          SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts_us DESC, event_id DESC) AS rn
+                          FROM ev)
+                        WHERE rn = 1 AND event_type <> 'error')
+            SELECT count(*)::BIGINT AS n_rows FROM w2""",
         "decontaminate": """
             WITH bw AS (SELECT list_filter(regexp_split_to_array(lower(text),
                                '[^a-z]+'), x -> x <> '') AS words

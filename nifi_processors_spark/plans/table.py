@@ -88,6 +88,9 @@ def _parquet_footer_stats(path: str) -> dict | None:
     mins: dict[str, Any] = {}
     maxs: dict[str, Any] = {}
     bad: set[str] = set()
+    live_rows = 0
+    live_groups = 0  # row groups with a provable _deleted verdict
+    live_known = True
 
     def _scalar(v: Any) -> Any:
         if isinstance(v, bytes):
@@ -104,6 +107,23 @@ def _parquet_footer_stats(path: str) -> dict | None:
         for ci in range(g.num_columns):
             col = g.column(ci)
             name = col.path_in_schema
+            if name == "_deleted":
+                # tombstone accounting from the boolean stats: a row group
+                # whose _deleted max is False is provably all-live; min True
+                # is provably all-tombstone; mixed groups make the file's
+                # live count unknowable from metadata (count_rows then
+                # falls back to scanning that bucket)
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    live_known = False
+                elif st.max is False:
+                    live_rows += g.num_rows
+                    live_groups += 1
+                elif st.min is True:
+                    live_groups += 1  # all-tombstone group: 0 live rows
+                else:
+                    live_known = False
+                continue
             if "." in name or name in bad:
                 continue
             st = col.statistics
@@ -116,9 +136,28 @@ def _parquet_footer_stats(path: str) -> dict | None:
                 continue
             mins[name] = lo if name not in mins else min(mins[name], lo)
             maxs[name] = hi if name not in maxs else max(maxs[name], hi)
-    if not mins:
-        return {"rows": md.num_rows} if md is not None else None
-    return {"rows": md.num_rows, "mins": mins, "maxs": maxs}
+    out: dict[str, Any] = {"rows": md.num_rows}
+    if live_known and live_groups == md.num_row_groups:
+        out["live_rows"] = live_rows
+    else:
+        # mixed live/tombstone row groups: the boolean min/max cannot
+        # prove the live count, but reading JUST the _deleted column of a
+        # file this process wrote moments ago is a few KB (columnar) —
+        # record the exact count so COUNT(*) stays metadata-only. Same
+        # local-only contract as the min/max stats: on a real cluster the
+        # writer task hoists this into its commit message.
+        try:
+            import pyarrow.compute as pc
+
+            tcol = pq.ParquetFile(path).read(columns=["_deleted"])
+            dead = pc.sum(tcol.column("_deleted")).as_py() or 0
+            out["live_rows"] = md.num_rows - int(dead)
+        except Exception:
+            pass
+    if mins:
+        out["mins"] = mins
+        out["maxs"] = maxs
+    return out
 
 
 _SCAN_OPS = ("=", "==", "<", "<=", ">", ">=")
@@ -451,6 +490,51 @@ class IceliteTable:
         """Pruning report for ``scan(filters)``: files/buckets total vs
         kept (observability + tests; no data is read)."""
         return self._prune(self.snapshot(snapshot_id), filters)[1]
+
+    # ---------------- metadata-only COUNT(*) ----------------
+
+    def _count_plan(self, snap: dict) -> tuple[int, list[int]]:
+        """(metadata-provable live rows, buckets needing a residual scan).
+        A bucket counts from the manifest iff it is base-only AND every
+        file carries a provable ``live_rows`` (from the _deleted boolean
+        footer stats). Delta-bearing buckets hold multiple versions per
+        key (file row counts would overcount), and files with mixed or
+        absent tombstone stats are unknowable — both scan."""
+        meta_rows = 0
+        residual: list[int] = []
+        for b, files in snap["buckets"].items():
+            if not files:
+                continue
+            if any(fe.get("kind", "base") == "delta" for fe in files):
+                residual.append(int(b))
+                continue
+            per_file = [(fe.get("stats") or {}).get("live_rows") for fe in files]
+            if any(lr is None for lr in per_file):
+                residual.append(int(b))
+            else:
+                meta_rows += sum(per_file)
+        return meta_rows, residual
+
+    def count_rows(self, snapshot_id: int | None = None) -> int:
+        """COUNT(*) of the live table, answered from the MANIFEST where
+        provable (the Iceberg metadata-only-count analogue: at 100 TB the
+        common case touches zero data files) plus one residual scan over
+        only the buckets whose live count metadata cannot prove
+        (unresolved deltas, mixed-tombstone or stats-less files)."""
+        snap = self.snapshot(snapshot_id)
+        meta_rows, residual = self._count_plan(snap)
+        if residual:
+            meta_rows += self.read(snapshot_id=snap["snapshot_id"],
+                                   buckets=residual).count()
+        return meta_rows
+
+    def count_report(self, snapshot_id: int | None = None) -> dict:
+        """How much of count_rows() is metadata vs scan (no data read)."""
+        snap = self.snapshot(snapshot_id)
+        meta_rows, residual = self._count_plan(snap)
+        n_buckets = sum(1 for fs in snap["buckets"].values() if fs)
+        return {"metadata_rows": meta_rows, "buckets_total": n_buckets,
+                "buckets_scanned": sorted(residual)}
 
     # ---------------- change feed (snapshot diff) ----------------
 
