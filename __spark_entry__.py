@@ -683,6 +683,25 @@ def q_scan_prune(spark, sf_dir):
     return out.select("user_id", "event_type", "value", "ts_us")
 
 
+def q_zorder_scan(spark, sf_dir):
+    """Z-order clustered scan (round 5): cluster(zorder=True) rewrites
+    each bucket in Morton-interleave order of (value, ts_us), so BOTH
+    dimensions get tight per-file ranges and a 2-D box scan opens the
+    matching files, not the bucket (lexical sort helps only the leading
+    column). The predicate is always applied residually; the oracle
+    recomputes the LWW state with the same box in SQL, so hash-equality
+    proves the multi-dim rewrite changes layout, never results."""
+    tbl, s1, s2 = _two_snapshot_table(spark, sf_dir)
+    tbl.cluster(["value", "ts_us"], max_rows_per_file=2000, zorder=True)
+    ev = _t(spark, sf_dir, "events")
+    mid = ev.agg(((F.min(F.unix_micros(F.col("ts").cast("timestamp")))
+                   + F.max(F.unix_micros(F.col("ts").cast("timestamp")))) / 2)
+                 .cast("long").alias("m")).collect()[0]["m"]
+    out = tbl.scan([("value", ">=", 40.0), ("value", "<", 60.0),
+                    ("ts_us", "<", mid)])
+    return out.select("user_id", "event_type", "value", "ts_us")
+
+
 def q_rollback_read(spark, sf_dir):
     """Snapshot rollback (round 5): after epoch 2 commits, rollback(s1)
     restores the epoch-1 state as a NEW commit — no data rewritten (the
@@ -926,6 +945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_prune": q_scan_prune,
         "point_lookup": q_point_lookup,
         "rollback_read": q_rollback_read,
+        "zorder_scan": q_zorder_scan,
         "metadata_count": q_metadata_count,
         "decontaminate": q_decontaminate,
         "repetition_features": q_repetition_features,
@@ -1565,6 +1585,18 @@ def oracle_sql() -> dict[str, str]:
                         WHERE rn = 1 AND event_type <> 'error')
             SELECT user_id, event_type, value, ts_us FROM w2
             WHERE user_id = 42""",
+        "zorder_scan": """
+            WITH ev AS (SELECT user_id, event_type, round(value, 2) AS value,
+                               epoch_us(ts) AS ts_us, event_id FROM events),
+                 mid AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS m
+                         FROM events),
+                 w2 AS (SELECT user_id, event_type, value, ts_us FROM (
+                          SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts_us DESC, event_id DESC) AS rn
+                          FROM ev)
+                        WHERE rn = 1 AND event_type <> 'error')
+            SELECT user_id, event_type, value, ts_us FROM w2, mid
+            WHERE value >= 40.0 AND value < 60.0 AND ts_us < m""",
         "rollback_read": """
             WITH mid AS (SELECT (max(event_id) // 2) AS m FROM events),
                  ev AS (SELECT user_id, event_type, round(value, 2) AS value,

@@ -77,6 +77,9 @@ def main(argv: list[str] | None = None) -> int:
                         help="sort column (repeatable, order matters)")
     cl_cmd.add_argument("--max-rows-per-file", type=int, default=None,
                         dest="max_rows_per_file")
+    cl_cmd.add_argument("--zorder", action="store_true",
+                        help="Morton-interleave the sort columns (tight "
+                        "per-file ranges on EVERY column, not just the first)")
 
     ch_cmd = sub.add_parser("changes", help="Delta-CDF-style change feed "
                             "between two snapshots (manifest-pruned)")
@@ -136,8 +139,10 @@ def main(argv: list[str] | None = None) -> int:
         from .plans.table import IceliteTable
 
         t = IceliteTable(spark, args.table)
-        sid = t.cluster(args.by, max_rows_per_file=args.max_rows_per_file)
-        print(json.dumps({"snapshot_id": sid, "clustered_by": args.by}))
+        sid = t.cluster(args.by, max_rows_per_file=args.max_rows_per_file,
+                        zorder=args.zorder)
+        print(json.dumps({"snapshot_id": sid, "clustered_by": args.by,
+                          "zorder": args.zorder}))
         return 0
 
     if args.cmd == "changes":

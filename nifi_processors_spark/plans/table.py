@@ -191,6 +191,39 @@ def _stats_exclude(fe: dict, col: str, op: str, v: Any) -> bool:
         return False
 
 
+def zorder_column(cols: list[str], ranges: dict[str, tuple[float, float]],
+                  bits: int = 16) -> Column:
+    """Morton (Z-order) interleave of ``cols`` as ONE codegen expression:
+    each column is min/max-normalized to a ``bits``-bit integer and the
+    bits are interleaved round-robin, so sorting by the result clusters
+    rows that are close in EVERY dimension — multi-dimensional file
+    skipping from the same 1-D manifest min/max stats. Numeric columns
+    only (strings need a rank-based encoding — out of scope); nulls sort
+    first (encode as 0). bits * len(cols) must fit a signed long."""
+    n = len(cols)
+    if n * bits > 62:
+        raise ValueError(f"{n} cols x {bits} bits exceeds a signed long")
+    top = (1 << bits) - 1
+    norms = []
+    for c in cols:
+        lo, hi = ranges[c]
+        if hi > lo:
+            scaled = (F.col(c).cast("double") - F.lit(float(lo))) \
+                / F.lit(float(hi - lo)) * F.lit(float(top))
+            norm = F.least(F.greatest(scaled.cast("long"), F.lit(0)), F.lit(top))
+        else:
+            norm = F.lit(0).cast("long")
+        norms.append(F.coalesce(norm, F.lit(0).cast("long")))
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, norm in enumerate(norms):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(norm, b).bitwiseAND(F.lit(1)),
+                            b * n + i)
+            )
+    return z
+
+
 def _group_head(key: list[str], w) -> Column:
     """Head-of-key-group predicate under a (key, seq desc) sort: no previous
     row, or ANY key part differs from it. eqNullSafe keeps the predicate
@@ -818,14 +851,40 @@ class IceliteTable:
         self._commit(new_snap)
         return new_sid
 
+    def _global_ranges(self, snap: dict, cols: list[str]
+                       ) -> dict[str, tuple[float, float]] | None:
+        """Global (min, max) per column folded from the manifest's per-file
+        stats — no data read. None if any file lacks stats for any col
+        (caller falls back to one aggregation job)."""
+        out: dict[str, tuple[float, float]] = {}
+        seen = False
+        for files in snap["buckets"].values():
+            for fe in files:
+                st = fe.get("stats") or {}
+                mins, maxs = st.get("mins") or {}, st.get("maxs") or {}
+                for c in cols:
+                    if c not in mins or c not in maxs:
+                        return None
+                    lo, hi = mins[c], maxs[c]
+                    if not isinstance(lo, (int, float)) or isinstance(lo, bool):
+                        return None
+                    cur = out.get(c)
+                    out[c] = (lo, hi) if cur is None else (min(cur[0], lo),
+                                                           max(cur[1], hi))
+                seen = True
+        return out if seen else None
+
     def cluster(
         self,
         sort_cols: list[str],
         max_rows_per_file: int | None = None,
         lineage: dict | None = None,
+        zorder: bool = False,
+        zorder_bits: int = 16,
     ) -> int:
-        """Sort-clustered rewrite (Z-order-lite, the Delta OPTIMIZE ZORDER
-        / Iceberg sort-order analogue for one dimension): resolve every
+        """Sort-clustered rewrite (the Delta OPTIMIZE ZORDER / Iceberg
+        sort-order analogue — lexical by default, true multi-dimensional
+        Morton interleave with ``zorder=True``): resolve every
         bucket, sort rows WITHIN each bucket by ``sort_cols``, and split
         the sorted stream into files of at most ``max_rows_per_file`` rows
         (``spark.sql.files.maxRecordsPerFile``). Consecutive files then
@@ -850,13 +909,38 @@ class IceliteTable:
         if not non_empty:
             return snap["snapshot_id"]
         resolved = self.read(include_deleted=True)
+        order: list = ["_bucket", *sort_cols]
+        if zorder:
+            # true multi-dim clustering: sort by the Morton interleave so
+            # consecutive files get tight ranges on EVERY sort column, not
+            # just the leading one. Ranges fold from the manifest (no read);
+            # one agg job only if some file lacks stats.
+            if len(sort_cols) < 2:
+                raise ValueError("zorder needs >= 2 columns (1-D sort "
+                                 "already gives tight ranges)")
+            ranges = self._global_ranges(snap, sort_cols)
+            if ranges is None:
+                row = resolved.agg(*[F.min(c).alias(f"lo_{c}") for c in sort_cols],
+                                   *[F.max(c).alias(f"hi_{c}") for c in sort_cols]
+                                   ).collect()[0]
+                ranges = {c: (row[f"lo_{c}"], row[f"hi_{c}"]) for c in sort_cols}
+            for c, (lo, hi) in ranges.items():
+                if lo is None or isinstance(lo, bool) \
+                        or not isinstance(lo, (int, float)):
+                    raise ValueError(f"zorder supports non-null numeric "
+                                     f"columns only; {c!r} has min {lo!r}")
+            resolved = resolved.withColumn(
+                "_z", zorder_column(sort_cols, ranges, bits=zorder_bits))
+            order = ["_bucket", "_z"]
         new_sid = snap["snapshot_id"] + 1
         out_dir = fsio.join(self.data_dir, f"snap{new_sid}")
         clustered = (
             resolved.withColumn("_bucket", bucket_expr(key, nb))
             .repartition(self._merge_partitions(len(non_empty)), F.col("_bucket"))
-            .sortWithinPartitions("_bucket", *sort_cols)
+            .sortWithinPartitions(*order)
         )
+        if zorder:
+            clustered = clustered.drop("_z")
         writer = clustered.write.mode("overwrite").partitionBy("_bucket")
         if max_rows_per_file is not None:
             if max_rows_per_file < 1:
@@ -877,7 +961,9 @@ class IceliteTable:
                 "parent": snap["snapshot_id"],
                 "buckets": new_buckets,
                 "clustered_by": list(sort_cols),
-                "lineage": lineage or {"op": "cluster", "sort_cols": list(sort_cols)},
+                "zordered": bool(zorder),
+                "lineage": lineage or {"op": "cluster", "sort_cols": list(sort_cols),
+                                       "zorder": bool(zorder)},
             }
         )
         self._commit(new_snap)

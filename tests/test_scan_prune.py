@@ -175,3 +175,49 @@ def test_stats_absent_disables_pruning_not_results(spark, tmp_path):
     rep = t.scan_report([("v", "=", 10)])
     assert rep["files_kept"] == rep["files_total"]
     assert [r["k"] for r in t.scan([("v", "=", 10)]).collect()] == [1]
+
+
+def test_zorder_cluster_prunes_both_dimensions(spark, tmp_path):
+    """Lexical sort gives tight file ranges only on the LEADING column;
+    Morton interleave (zorder=True) gives usable ranges on every sort
+    column — a y-range scan that lexical clustering cannot prune at all
+    opens a fraction of the z-ordered files. Results stay identical."""
+    # string-column guard target (zorder refuses non-numeric dims)
+    t = IceliteTable.create(spark, str(tmp_path / "tz"), SCHEMA, key=["k"],
+                            n_buckets=1)
+    t.merge(_chset(spark, [(1, 10, "a", "U"), (2, 20, "b", "U")], 1))
+    # 64x64 grid with two independent numeric dims x = k//64, y = k%64
+    schema2 = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("x", T.LongType()),
+        T.StructField("y", T.LongType()),
+    ])
+    t2 = IceliteTable.create(spark, str(tmp_path / "tz2"), schema2,
+                             key=["k"], n_buckets=1)
+    df = spark.createDataFrame(
+        [(k, k // 64, k % 64, "U") for k in range(4096)],
+        "k long, x long, y long, op string")
+    t2.merge(df.select("k", "x", "y", "op", F.lit(1).alias("commit_seq"),
+                       F.col("k").alias("event_seq")))
+
+    t2.cluster(["x", "y"], max_rows_per_file=256)          # lexical
+    lex_x = t2.scan_report([("x", "<", 8)])
+    lex_y = t2.scan_report([("y", "<", 8)])
+    assert lex_x["files_kept"] <= lex_x["files_total"] // 4
+    assert lex_y["files_kept"] == lex_y["files_total"]     # y: no help
+
+    sid = t2.cluster(["x", "y"], max_rows_per_file=256, zorder=True)
+    assert t2.snapshot()["zordered"] is True
+    z_x = t2.scan_report([("x", "<", 8)])
+    z_y = t2.scan_report([("y", "<", 8)])
+    assert z_x["files_kept"] <= z_x["files_total"] // 2    # x still prunes
+    assert z_y["files_kept"] <= z_y["files_total"] // 2    # y NOW prunes
+    got = sorted(r["k"] for r in t2.scan([("y", "<", 8)]).collect())
+    want = sorted(r["k"] for r in t2.read().filter(F.col("y") < 8).collect())
+    assert got == want and len(got) == 512
+    assert t2.read().count() == 4096
+    # guards
+    with pytest.raises(ValueError, match="zorder needs"):
+        t2.cluster(["x"], zorder=True)
+    with pytest.raises(ValueError, match="numeric"):
+        t.cluster(["v", "s"], zorder=True)
