@@ -683,6 +683,17 @@ def q_scan_prune(spark, sf_dir):
     return out.select("user_id", "event_type", "value", "ts_us")
 
 
+def q_batch_lookup(spark, sf_dir):
+    """Batch key lookup (round 5): key IN (...) plans to the UNION of the
+    candidates' hash buckets (xxhash64 % n_buckets via the writers' own
+    bucket_expr) — k keys touch at most k/n_buckets of a 100 TB table's
+    manifest — then per-file stats prune within them and the IN predicate
+    applies residually. Oracle: the LWW state filtered with the same IN."""
+    tbl, s1, s2 = _two_snapshot_table(spark, sf_dir)
+    out = tbl.scan([("user_id", "in", [7, 42, 99, 123])])
+    return out.select("user_id", "event_type", "value", "ts_us")
+
+
 def q_zorder_scan(spark, sf_dir):
     """Z-order clustered scan (round 5): cluster(zorder=True) rewrites
     each bucket in Morton-interleave order of (value, ts_us), so BOTH
@@ -945,6 +956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_prune": q_scan_prune,
         "point_lookup": q_point_lookup,
         "rollback_read": q_rollback_read,
+        "batch_lookup": q_batch_lookup,
         "zorder_scan": q_zorder_scan,
         "metadata_count": q_metadata_count,
         "decontaminate": q_decontaminate,
@@ -1585,6 +1597,16 @@ def oracle_sql() -> dict[str, str]:
                         WHERE rn = 1 AND event_type <> 'error')
             SELECT user_id, event_type, value, ts_us FROM w2
             WHERE user_id = 42""",
+        "batch_lookup": """
+            WITH ev AS (SELECT user_id, event_type, round(value, 2) AS value,
+                               epoch_us(ts) AS ts_us, event_id FROM events),
+                 w2 AS (SELECT user_id, event_type, value, ts_us FROM (
+                          SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts_us DESC, event_id DESC) AS rn
+                          FROM ev)
+                        WHERE rn = 1 AND event_type <> 'error')
+            SELECT user_id, event_type, value, ts_us FROM w2
+            WHERE user_id IN (7, 42, 99, 123)""",
         "zorder_scan": """
             WITH ev AS (SELECT user_id, event_type, round(value, 2) AS value,
                                epoch_us(ts) AS ts_us, event_id FROM events),

@@ -160,7 +160,7 @@ def _parquet_footer_stats(path: str) -> dict | None:
     return out
 
 
-_SCAN_OPS = ("=", "==", "<", "<=", ">", ">=")
+_SCAN_OPS = ("=", "==", "<", "<=", ">", ">=", "in")
 
 
 def _stats_exclude(fe: dict, col: str, op: str, v: Any) -> bool:
@@ -174,6 +174,9 @@ def _stats_exclude(fe: dict, col: str, op: str, v: Any) -> bool:
     if col not in mins or col not in maxs:
         return False
     lo, hi = mins[col], maxs[col]
+    if op == "in":
+        # excluded iff EVERY candidate value is outside the file's range
+        return all(_stats_exclude(fe, col, "=", x) for x in v)
     mixed_num = isinstance(v, (int, float)) and isinstance(lo, (int, float))
     if type(v) is not type(lo) and not mixed_num:
         return False
@@ -407,33 +410,57 @@ class IceliteTable:
 
     # ---------------- stats-pruned scan (file skipping) ----------------
 
-    def _key_bucket(self, snap: dict, filters: list[tuple[str, str, Any]]
-                    ) -> int | None:
-        """Point-lookup bucket pruning (the Iceberg bucket-transform
+    def _key_buckets(self, snap: dict, filters: list[tuple[str, str, Any]]
+                     ) -> list[int] | None:
+        """Point/batch-lookup bucket pruning (the Iceberg bucket-transform
         partition-pruning analogue): if the filter conjunction pins EVERY
-        key column with equality, the row can live in exactly one bucket —
-        ``xxhash64(key) % n_buckets`` — so a point lookup touches 1/n of
-        the table before stats pruning even starts. The bucket id is
-        computed with the very same ``bucket_expr`` the writers use, on a
-        one-row local DataFrame (a few ms of driver-side planning), so
-        hash parity with the data layout is by construction, not by a
-        reimplementation of xxhash64. Always LWW-safe: every version of a
-        key (base, delta, tombstone) lands in the same bucket."""
-        eq = {c: v for c, op, v in filters if op in ("=", "==")}
+        key column with equality or an IN list, the candidate rows can
+        live only in the buckets ``xxhash64(key) % n_buckets`` of the
+        (bounded) key-combination set — a point lookup touches 1/n of the
+        table, a k-key batch lookup at most k/n, before stats pruning
+        even starts. Bucket ids are computed with the very same
+        ``bucket_expr`` the writers use, on a tiny local probe DataFrame
+        (a few ms of driver-side planning), so hash parity with the data
+        layout is by construction, not by a reimplementation of xxhash64.
+        Always LWW-safe: every version of a key (base, delta, tombstone)
+        lands in the same bucket. Returns None when the key is not fully
+        pinned (or the combination set exceeds the probe bound)."""
         key = snap["key"]
-        if not key or not all(c in eq for c in key):
+        cand: dict[str, list] = {}
+        for c, op, v in filters:
+            if c not in key:
+                continue
+            if op in ("=", "=="):
+                vals = [v]
+            elif op == "in":
+                vals = list(v)
+            else:
+                continue
+            # conjunction of several pins on one column: intersect
+            cand[c] = [x for x in cand[c] if x in vals] if c in cand else vals
+        if not key or not all(c in cand for c in key):
             return None
         fields = {f["name"]: f for f in snap["schemas"][str(snap["schema_version"])]}
         if not all(c in fields for c in key):
             return None
-        probe = self.spark.range(1).select(*[
-            F.lit(eq[c]).cast(_type_from_json(fields[c]["type"])).alias(c)
-            for c in key
-        ])
-        row = probe.select(
+        import itertools
+
+        combos = list(itertools.product(*[cand[c] for c in key]))
+        if not combos:
+            return []  # contradictory pins: provably no matching row
+        if len(combos) > 1024:
+            return None  # batch too large for planning; stats still prune
+        probe = self.spark.createDataFrame(
+            combos,
+            T.StructType([
+                T.StructField(c, _type_from_json(fields[c]["type"]), True)
+                for c in key
+            ]),
+        )
+        rows = probe.select(
             bucket_expr(key, snap["n_buckets"]).alias("b")
-        ).first()
-        return int(row["b"])
+        ).distinct().collect()
+        return sorted(int(r["b"]) for r in rows)
 
     def _prune(self, snap: dict, filters: list[tuple[str, str, Any]]
                ) -> tuple[dict[str, list[dict]], dict]:
@@ -456,15 +483,17 @@ class IceliteTable:
         kept: dict[str, list[dict]] = {}
         report = {"files_total": 0, "files_kept": 0,
                   "buckets_total": 0, "buckets_kept": 0}
-        kb = self._key_bucket(snap, filters)
+        kb = self._key_buckets(snap, filters)
         if kb is not None:
-            report["key_bucket"] = kb
+            report["key_buckets"] = kb
+            if len(kb) == 1:
+                report["key_bucket"] = kb[0]
         for b, files in snap["buckets"].items():
             if not files:
                 continue
             report["buckets_total"] += 1
             report["files_total"] += len(files)
-            if kb is not None and int(b) != kb:
+            if kb is not None and int(b) not in kb:
                 continue
             has_delta = any(fe.get("kind", "base") == "delta" for fe in files)
             survivors = [
@@ -487,7 +516,10 @@ class IceliteTable:
     ) -> DataFrame:
         """Filtered read with manifest-stats FILE SKIPPING — the Iceberg
         scan-planning analogue. ``filters`` is a conjunction of
-        ``(column, op, literal)`` with op in {=, ==, <, <=, >, >=}; files
+        ``(column, op, literal)`` with op in {=, ==, <, <=, >, >=, in}
+        (``in`` takes a list/tuple of candidate values — a batch lookup
+        that prunes both per-file by stats and, on key columns, to the
+        union of the candidates' hash buckets); files
         whose footer-derived min/max range provably excludes the predicate
         are never opened (at 100 TB a selective scan touches the matching
         fraction of files, not the table — driver-side planning is
@@ -500,22 +532,28 @@ class IceliteTable:
         only skip work, never change results; files without stats (old
         snapshots, remote writers) are simply read.
         """
-        for c, op, _ in filters:
+        for c, op, v in filters:
             if op not in _SCAN_OPS:
                 raise ValueError(f"unsupported scan op {op!r} on {c!r} "
                                  f"(supported: {_SCAN_OPS})")
+            if op == "in" and not isinstance(v, (list, tuple, set)):
+                raise ValueError(f"'in' filter on {c!r} needs a "
+                                 f"list/tuple/set, got {type(v).__name__}")
         snap = self.snapshot(snapshot_id)
         kept, _ = self._prune(snap, filters)
         df = self.read(snapshot_id=snapshot_id, include_deleted=include_deleted,
                        _keep=kept)
-        ops = {"=": "==", "==": "==", "<": "<", "<=": "<=", ">": ">", ">=": ">="}
         pred = F.lit(True)
         for c, op, v in filters:
             col = F.col(c)
+            if op == "in":
+                pred = pred & col.isin(list(v))
+                continue
             pred = pred & {
-                "==": col == F.lit(v), "<": col < F.lit(v), "<=": col <= F.lit(v),
+                "=": col == F.lit(v), "==": col == F.lit(v),
+                "<": col < F.lit(v), "<=": col <= F.lit(v),
                 ">": col > F.lit(v), ">=": col >= F.lit(v),
-            }[ops[op]]
+            }[op]
         return df.filter(pred)
 
     def scan_report(self, filters: list[tuple[str, str, Any]],

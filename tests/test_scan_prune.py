@@ -221,3 +221,24 @@ def test_zorder_cluster_prunes_both_dimensions(spark, tmp_path):
         t2.cluster(["x"], zorder=True)
     with pytest.raises(ValueError, match="numeric"):
         t.cluster(["v", "s"], zorder=True)
+
+
+def test_batch_lookup_in_prunes_to_bucket_union(tbl):
+    """key IN (...) plans to the union of the candidates' hash buckets;
+    non-key IN prunes by stats; contradictory pins prove emptiness."""
+    keys = [5, 37, 123]
+    rep = tbl.scan_report([("k", "in", keys)])
+    assert rep["key_buckets"] and len(rep["key_buckets"]) <= 3
+    assert rep["buckets_kept"] <= 3
+    got = sorted(r["k"] for r in tbl.scan([("k", "in", keys)]).collect())
+    assert got == keys
+    rep2 = tbl.scan_report([("s", "in", ["s3", "s5"])])
+    assert rep2["buckets_kept"] == 2 and "key_buckets" not in rep2
+    assert tbl.scan([("s", "in", ["s3", "s5"])]).count() == \
+        tbl.read().filter(F.col("s").isin(["s3", "s5"])).count()
+    # conjunction of contradictory key pins: provably empty, no files read
+    rep3 = tbl.scan_report([("k", "=", 5), ("k", "=", 6)])
+    assert rep3["key_buckets"] == [] and rep3["buckets_kept"] == 0
+    assert tbl.scan([("k", "=", 5), ("k", "=", 6)]).count() == 0
+    with pytest.raises(ValueError, match="'in' filter"):
+        tbl.scan([("k", "in", 5)])
