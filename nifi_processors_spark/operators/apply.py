@@ -84,6 +84,7 @@ class ChangeApplier:
         keep_snapshots: int = 2,
         expire_tombstones_every: int | None = None,
         tombstone_lateness: int = 1_000,
+        views: dict[str, tuple[list[str], list[str]]] | None = None,
     ):
         """``merge_mode``: 'cow' rewrites touched buckets per epoch (read
         cost stays flat); 'mor' appends delta files (write cost scales with
@@ -99,7 +100,13 @@ class ChangeApplier:
         are dropped (bounds tombstone growth; the lateness slack keeps any
         straggler event that could still legally arrive maskable). Both are
         off by default — a 100-epoch run with them unset behaves exactly as
-        before."""
+        before.
+
+        ``views``: maintained materialized rollups, ``{name: (group_cols,
+        value_cols)}`` — after every applied epoch the loop folds ONLY
+        that epoch's change feed into each view (plans/ivm.py
+        MaterializedView; the table is never rescanned except at
+        bootstrap or after snapshot expiry reaps a view's base)."""
         self.spark = spark
         self.table_path = table_path
         self.changelog_dir = changelog_dir
@@ -123,6 +130,8 @@ class ChangeApplier:
         self._epochs_since_expire = 0
         self._epochs_since_tombstone_expire = 0
         self._max_commit_seq: int | None = None
+        self.views_dir = fsio.join(state_dir, "views")
+        self.views = dict(views or {})
 
     # ------------- discovery -------------
 
@@ -577,14 +586,35 @@ class ChangeApplier:
         if snap_due:
             self._epochs_since_expire = 0
 
+    def view(self, name: str):
+        """The MaterializedView handle for a configured view name."""
+        from ..plans.ivm import MaterializedView
+
+        group_cols, value_cols = self.views[name]
+        return MaterializedView(
+            self.spark, fsio.join(self.views_dir, name), group_cols, value_cols
+        )
+
+    def refresh_views(self) -> dict[str, dict]:
+        """Bring every configured view up to the current table snapshot —
+        delta-fold of the change feed since each view's recorded base
+        (noop when already current; bootstrap/rebuild scans once)."""
+        t = self._table()
+        if t is None:
+            return {}
+        return {name: self.view(name).refresh(t) for name in self.views}
+
     def run(self, crash: Callable[[str, int], None] | None = None) -> list[dict]:
         """Apply all pending epochs in order (exactly-once via markers),
         interleaving the configured maintenance cadences — a 100-epoch run
         with ``expire_snapshots_every`` set keeps meta/ bounded instead of
-        accumulating one snapshot file (+ orphaned data) per epoch."""
+        accumulating one snapshot file (+ orphaned data) per epoch. Views
+        refresh after each epoch (BEFORE maintenance, so the delta fold
+        reads the epoch's touched buckets, not a maintenance rewrite)."""
         out = []
         for e in self.pending_epochs():
             out.append(self.apply_epoch(e, crash=crash))
+            self.refresh_views()
             self._tick_maintenance()
         return out
 

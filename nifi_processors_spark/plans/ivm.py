@@ -100,3 +100,94 @@ def apply_agg_delta(
         ],
     )
     return merged.filter(F.col(count_col) != 0)
+
+
+class MaterializedView:
+    """A continuously-maintained rollup over an ``IceliteTable``:
+    ``group_cols + n_rows + sum_<value_col>...`` materialized as parquet
+    plus a replace-safe pointer recording WHICH table snapshot the
+    materialization reflects.
+
+    ``refresh()`` folds only the change feed between the recorded and the
+    current snapshot (``agg_delta`` + one key join — the 100 TB table is
+    never rescanned); the bootstrap (and the fallback when snapshot
+    expiry has reaped the recorded base — the retention trade, surfaced
+    in the refresh record as ``mode: rebuild``) is one ``grouped_agg``
+    over the pinned snapshot. Crash-safe: the data directory for the new
+    generation is fully written before the pointer moves, so a reader
+    never sees a half-refreshed view and a crashed refresh simply re-runs.
+
+    Layout::
+
+        path/VIEW            -> {"snapshot_id": n, "data": "gen{n}"}
+        path/gen{n}/*.parquet
+    """
+
+    def __init__(self, spark, path: str, group_cols: list[str],
+                 value_cols: list[str], keep_generations: int = 2):
+        from . import fsio
+
+        self.spark = spark
+        self.path = path
+        self.group_cols = list(group_cols)
+        self.value_cols = list(value_cols)
+        self.keep_generations = keep_generations
+        self._fsio = fsio
+        self._ptr = fsio.join(path, "VIEW")
+
+    def pointer(self) -> dict | None:
+        return self._fsio.load_json(self._ptr, default=None)
+
+    def read(self) -> DataFrame:
+        ptr = self.pointer()
+        if ptr is None:
+            raise RuntimeError(f"view at {self.path} not materialized yet")
+        return self.spark.read.parquet(
+            self._fsio.join(self.path, ptr["data"]))
+
+    def refresh(self, table) -> dict:
+        """Bring the view up to the table's current snapshot. Returns a
+        record: {snapshot_id, from_snapshot, mode: bootstrap|delta|noop|
+        rebuild}."""
+        fsio = self._fsio
+        cur = table.current_snapshot_id()
+        ptr = self.pointer()
+        if ptr is not None and ptr["snapshot_id"] == cur:
+            return {"snapshot_id": cur, "mode": "noop"}
+        mode = "bootstrap" if ptr is None else "delta"
+        if ptr is None:
+            new = grouped_agg(table.read(snapshot_id=cur),
+                              self.group_cols, self.value_cols)
+        else:
+            try:
+                feed = table.changes(ptr["snapshot_id"], cur)
+                delta = agg_delta(feed, self.group_cols, self.value_cols)
+                new = apply_agg_delta(self.read(), delta,
+                                      self.group_cols, self.value_cols)
+            except Exception:
+                # recorded base snapshot expired (retention trade): one
+                # full rebuild re-anchors the view; later refreshes are
+                # incremental again
+                mode = "rebuild"
+                new = grouped_agg(table.read(snapshot_id=cur),
+                                  self.group_cols, self.value_cols)
+        gen = f"gen{cur}"
+        out_dir = fsio.join(self.path, gen)
+        new.write.mode("overwrite").parquet(out_dir)
+        fsio.publish_json(self._ptr, {"snapshot_id": cur, "data": gen})
+        self._expire_generations(keep=[gen])
+        return {"snapshot_id": cur,
+                "from_snapshot": None if ptr is None else ptr["snapshot_id"],
+                "mode": mode}
+
+    def _expire_generations(self, keep: list[str]) -> None:
+        fsio = self._fsio
+        gens = sorted(
+            (int(e[3:]) for e in fsio.listdir(self.path)
+             if e.startswith("gen") and e[3:].isdigit()),
+            reverse=True,
+        )
+        for g in gens[max(self.keep_generations, 1):]:
+            name = f"gen{g}"
+            if name not in keep:
+                fsio.rmtree(fsio.join(self.path, name))
