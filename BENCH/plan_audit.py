@@ -156,6 +156,18 @@ CHECKS = {
         ("residual key equality pushed to the parquet scan", r"PushedFilters: \[[^\]]*EqualTo\(user_id", "formatted"),
         ("base-only read of one bucket: no LWW resolution shuffle", None, "exchange==0"),
     ],
+    "batch_lookup": [
+        # bucket-union pruning happened before the plan existed; the IN
+        # predicate still reaches the parquet scan as a pushed filter
+        ("residual IN pushed to the parquet scan", r"PushedFilters: \[[^\]]*In\(user_id", "formatted"),
+        ("base-only read of the candidate buckets: no LWW shuffle", None, "exchange==0"),
+    ],
+    "zorder_scan": [
+        # the z-ordered rewrite changes LAYOUT only; the scan itself is a
+        # plain pruned base read with both box predicates pushed
+        ("box predicates pushed to the parquet scan", r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(value", "formatted"),
+        ("base-only read: no LWW resolution shuffle", None, "exchange==0"),
+    ],
     "rollback_read": [
         # a rollback commit only copies the manifest — the restored read is
         # a plain base scan, no resolution shuffle, no rewrite artifacts

@@ -704,10 +704,11 @@ def q_zorder_scan(spark, sf_dir):
     proves the multi-dim rewrite changes layout, never results."""
     tbl, s1, s2 = _two_snapshot_table(spark, sf_dir)
     tbl.cluster(["value", "ts_us"], max_rows_per_file=2000, zorder=True)
-    ev = _t(spark, sf_dir, "events")
-    mid = ev.agg(((F.min(F.unix_micros(F.col("ts").cast("timestamp")))
-                   + F.max(F.unix_micros(F.col("ts").cast("timestamp")))) / 2)
-                 .cast("long").alias("m")).collect()[0]["m"]
+    # box midpoint from the LIVE state's own ts range (LWW winners skew
+    # recent — a global-range midpoint would select nothing)
+    mid = tbl.read().agg(
+        ((F.min("ts_us") + F.max("ts_us")) / 2).cast("long").alias("m")
+    ).collect()[0]["m"]
     out = tbl.scan([("value", ">=", 40.0), ("value", "<", 60.0),
                     ("ts_us", "<", mid)])
     return out.select("user_id", "event_type", "value", "ts_us")
@@ -1610,13 +1611,12 @@ def oracle_sql() -> dict[str, str]:
         "zorder_scan": """
             WITH ev AS (SELECT user_id, event_type, round(value, 2) AS value,
                                epoch_us(ts) AS ts_us, event_id FROM events),
-                 mid AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS m
-                         FROM events),
                  w2 AS (SELECT user_id, event_type, value, ts_us FROM (
                           SELECT *, row_number() OVER (PARTITION BY user_id
                                  ORDER BY ts_us DESC, event_id DESC) AS rn
                           FROM ev)
-                        WHERE rn = 1 AND event_type <> 'error')
+                        WHERE rn = 1 AND event_type <> 'error'),
+                 mid AS (SELECT (min(ts_us) + max(ts_us)) // 2 AS m FROM w2)
             SELECT user_id, event_type, value, ts_us FROM w2, mid
             WHERE value >= 40.0 AND value < 60.0 AND ts_us < m""",
         "rollback_read": """

@@ -54,6 +54,10 @@ def main(argv: list[str] | None = None) -> int:
     ap_cmd.add_argument("--tombstone-lateness", type=int, default=1000,
                         help="commit_seq slack kept above the expiry watermark; "
                         "must exceed the stream's real commit disorder")
+    ap_cmd.add_argument("--view", action="append", default=[],
+                        help="maintained rollup: name=grp1,grp2[:val1,val2] "
+                        "(repeatable); refreshed from the change feed after "
+                        "every applied epoch")
 
     mt_cmd = sub.add_parser("maintain", help="one ad-hoc maintenance pass "
                             "(expire tombstones + snapshots)")
@@ -204,6 +208,14 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     hints = dict(h.split("=", 1) for h in getattr(args, "rename_hint", []))
+    views: dict[str, tuple[list[str], list[str]]] = {}
+    for spec in getattr(args, "view", []):
+        name, _, cols = spec.partition("=")
+        if not name or not cols:
+            raise SystemExit(f"--view needs name=grp1,grp2[:val1,val2], got {spec!r}")
+        grp, _, vals = cols.partition(":")
+        views[name] = ([c for c in grp.split(",") if c],
+                       [c for c in vals.split(",") if c])
     applier = ChangeApplier(
         spark, args.table, args.changelog, args.state,
         n_buckets=getattr(args, "buckets", 32),
@@ -214,6 +226,7 @@ def main(argv: list[str] | None = None) -> int:
         keep_snapshots=getattr(args, "keep_snapshots", 2),
         expire_tombstones_every=getattr(args, "expire_tombstones_every", None),
         tombstone_lateness=getattr(args, "tombstone_lateness", 1000),
+        views=views or None,
     )
     if args.cmd == "apply":
         for rec in applier.run():

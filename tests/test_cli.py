@@ -129,3 +129,29 @@ def test_cli_rollback_tag_publish(spark, tmp_path, capsys):
                      "--abort"]) == 0
     assert t.current_snapshot_id() == staged
     assert cli.main(["tag", "--table", path, "--name", "good", "--drop"]) == 0
+
+
+def test_cli_apply_with_view(spark, tmp_path, capsys):
+    """--view name=grp maintains a rollup across the applied epochs."""
+    cl = str(tmp_path / "cl")
+    assert cli.main(["generate", "--out", cl, "--events", "1500",
+                     "--epochs", "2"]) == 0
+    assert cli.main([
+        "apply", "--table", str(tmp_path / "t"), "--changelog", cl,
+        "--state", str(tmp_path / "s"), "--buckets", "4",
+        "--view", "by_lang=lang",
+    ]) == 0
+    capsys.readouterr()
+    from pyspark.sql import functions as F
+
+    from nifi_processors_spark.operators.apply import ChangeApplier
+    ap = ChangeApplier(spark, str(tmp_path / "t"), cl, str(tmp_path / "s"),
+                       n_buckets=4, views={"by_lang": (["lang"], [])})
+    got = {r["lang"]: r["n_rows"] for r in ap.view("by_lang").read().collect()}
+    want = {r["lang"]: r["n"] for r in
+            ap.state().groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert got == want and got
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        cli.main(["apply", "--table", str(tmp_path / "t"), "--changelog", cl,
+                  "--state", str(tmp_path / "s"), "--view", "malformed"])
