@@ -260,12 +260,22 @@ class ChangeApplier:
         input_files: list[str] | None = None,
         crash: Callable[[str, int], None] | None = None,
         marker: int | str | None = None,
+        observe_metrics: bool = True,
     ) -> dict:
         """Apply one micro-batch of change events (envelope columns +
         payload_json). Used by both the batch epoch loop and the Structured
         Streaming foreachBatch front-end (streaming/stream.py — which passes
         a namespaced ``marker`` so streaming micro-batch ids can never
-        collide with batch changelog epochs)."""
+        collide with batch changelog epochs).
+
+        ``observe_metrics``: when True (batch path), drift detection rides
+        the merge job as a ``df.observe`` — one scan of the payload, zero
+        extra jobs. The streaming front-end passes False: blocking on
+        ``Observation.get`` from inside a foreachBatch callback deadlocks
+        the query (the QueryExecutionListener event that fulfils the
+        observation is never delivered to a waiter on the callback thread
+        — reproduced deterministically on Spark 4.1), so streaming pays
+        one skinny extra aggregation job over the micro-batch instead."""
         t0 = time.monotonic()
         input_files = input_files or []
 
@@ -392,9 +402,7 @@ class ChangeApplier:
                 #    payload is read+parsed exactly once per epoch)
                 reg_fields, parse_fields, resolve = self._parse_plan()
                 is_corrupt = malformed_json(F.col("payload_json"))
-                obs = Observation()
-                raw_obs = raw.observe(
-                    obs,
+                drift_aggs = [
                     payload_schema_agg(
                         F.when(~(is_corrupt | is_badkey), F.col("payload_json"))
                     ).alias("vschema"),
@@ -402,7 +410,12 @@ class ChangeApplier:
                     # a row that is both null-keyed and malformed counts
                     # once (as badkey), or rows_upserted double-subtracts
                     F.sum((is_corrupt & ~is_badkey).cast("int")).alias("malformed"),
-                )
+                ]
+                obs = None
+                raw_obs = raw
+                if observe_metrics:
+                    obs = Observation()
+                    raw_obs = raw.observe(obs, *drift_aggs)
                 changes = self._build_changes(raw_obs, parse_fields, resolve, table)
                 new_sid, mstats = merge_fn(
                     changes,
@@ -410,7 +423,7 @@ class ChangeApplier:
                              "input_files": input_files},
                     affected=affected,
                 )
-                got = obs.get
+                got = obs.get if obs is not None else raw.agg(*drift_aggs).first()
                 n_malformed = int(got["malformed"] or 0)
                 epoch_fields = fields_from_variant_schema(got["vschema"])
                 if resolve:  # late rows may still carry already-renamed names

@@ -60,9 +60,22 @@ def stream_apply(
         key = f"stream_{epoch_id}"
         if applier.checkpoints.is_committed(key):
             return  # replayed micro-batch: exactly-once skip
+        # observe_metrics=False: Observation.get never resolves when
+        # awaited from inside a foreachBatch callback (the listener event
+        # is not delivered to the callback thread — deterministic deadlock
+        # on Spark 4.1 local mode), so the streaming path computes drift
+        # aggregates as one skinny extra job over the micro-batch.
         applier.apply_batch_df(
-            batch_df.withColumn("epoch", F.lit(epoch_id)), epoch_id, marker=key
+            batch_df.withColumn("epoch", F.lit(epoch_id)),
+            epoch_id,
+            marker=key,
+            observe_metrics=False,
         )
+        # maintained views track the stream too: fold this micro-batch's
+        # change feed (noop when the batch was empty). Idempotent under
+        # foreachBatch replays — a replayed batch marker-skips above, and
+        # refresh() noops when the view already reflects the snapshot.
+        applier.refresh_views()
 
     return (
         stream.writeStream.foreachBatch(apply_batch)

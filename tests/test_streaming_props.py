@@ -30,14 +30,26 @@ def test_stream_apply_matches_batch(spark, tmp_path):
     }
 
     streaming = ChangeApplier(spark, str(tmp_path / "st"), str(tmp_path / "cl"),
-                              str(tmp_path / "ss"), n_buckets=8)
+                              str(tmp_path / "ss"), n_buckets=8,
+                              views={"by_lang": (["lang"], [])})
     q = stream_apply(spark, streaming, str(tmp_path / "ckpt"))
-    q.awaitTermination(120)
+    q.awaitTermination(300)
+    # availableNow terminates when all input is processed — a still-active
+    # query here means the foreachBatch callback deadlocked (the silent
+    # failure mode obs-in-foreachBatch used to hit); fail loudly.
+    assert not q.isActive
     got = {
         (r["repo"], r["path"]): r["sha"]
         for r in streaming.state().select("repo", "path", F.sha2("content", 256).alias("sha")).collect()
     }
     assert got == want
+    # maintained view tracked the stream's micro-batches and equals a
+    # from-scratch recompute of the final state
+    view = {r["lang"]: r["n_rows"]
+            for r in streaming.view("by_lang").read().collect()}
+    recompute = {r["lang"]: r["n"] for r in streaming.state().groupBy("lang")
+                 .agg(F.count("*").alias("n")).collect()}
+    assert view == recompute and view
 
 
 # ---------------- property-based LWW (hypothesis drives the dict oracle, ----
