@@ -125,6 +125,14 @@ CHECKS = {
         ("probe scan partition-prunes on cell (dynamic pruning expression)", r"PartitionFilters: \[[^\]]*dynamicpruning", "formatted"),
         ("no corpus shuffle on vec_id anywhere (index build is also projection-only)", r"hashpartitioning\(vec_id", "absent"),
     ],
+    "bm25_topk": [
+        # query terms and per-term df are broadcast; the only wide work is
+        # the (doc, term) partial-agg shuffle over term-filtered postings
+        ("query-term and df joins broadcast the small side", r"BroadcastHashJoin", "simple"),
+        ("map-side partial tf aggregation before the exchange", r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate", "simple"),
+        ("no row-at-a-time Python eval (pure expressions)", r"BatchEvalPython|MapInPandas", "absent"),
+        ("top-k rank-limit pushed below the final shuffle", r"WindowGroupLimit", "simple"),
+    ],
     "velocity_methods": [
         ("method calls compile to built-ins: one projection, no UDF", r"BatchEvalPython|MapInPandas", "absent"),
         ("single narrow stage (no exchange)", None, "exchange==0"),

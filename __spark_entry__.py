@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nifi_processors_spark.operators import (
-    budget, fuzzy, multimodal, profile, sample, similarity, text,
+    budget, fuzzy, incdedup, multimodal, profile, retrieval, sample, similarity, text,
 )
 from nifi_processors_spark.operators.dedup import lww_dedup
 from nifi_processors_spark.operators.rules import evaluate, explode_details, route
@@ -217,6 +217,47 @@ def q_ann_topk(spark, sf_dir):
 def q_minhash_neardup(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return fuzzy.minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.6, num_hashes=32, bands=16)
+
+
+# deterministic literal query set — duplicated verbatim in the oracle SQL
+BM25_QUERIES = [
+    (0, "spark merge window"),
+    (1, "hash join filter"),
+    (2, "customer query scan"),
+]
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 top-10 per query (operators/retrieval.py): postings term-
+    filtered behind a broadcast of the query terms, df computed from the
+    filtered postings, corpus constants as a 1-row broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    qdf = spark.createDataFrame(BM25_QUERIES, "query_id long, query string")
+    return retrieval.bm25_topk(docs, qdf, "text", "doc_id", k=10)
+
+
+def q_incremental_neardup(spark, sf_dir):
+    """CDC-shaped dedup: the corpus arrives in three batches (doc_id % 3);
+    each batch is deduped against the persisted LSH band index built from
+    the earlier batches (partition-pruned probe + broadcast-verify against
+    the corpus), then appended to it — the historical corpus is never
+    re-banded (operators/incdedup.py). The union of the per-ingest
+    results provably equals the one-shot minhash_lsh_pairs over the whole
+    corpus, so this query shares minhash_neardup's oracle SQL."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    idx = incdedup.LshBandIndex(
+        spark, tempfile.mkdtemp(prefix="lsh_idx_"), num_hashes=32, bands=16, shingle_n=3
+    )
+    outs = [
+        idx.ingest(
+            docs.filter(F.pmod("doc_id", F.lit(3)) == b), "text", "doc_id",
+            docs, threshold=0.6,
+        )
+        for b in range(3)
+    ]
+    return outs[0].unionByName(outs[1]).unionByName(outs[2])
 
 
 def q_dup_clusters(spark, sf_dir):
@@ -933,6 +974,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "except_users": q_except_users,
         "topk_per_group": q_topk_per_group,
         "minhash_neardup": q_minhash_neardup,
+        "incremental_neardup": q_incremental_neardup,
+        "bm25_topk": q_bm25_topk,
         "dup_clusters": q_dup_clusters,
         "simhash_sketch": q_simhash_sketch,
         "simhash_pairs": q_simhash_pairs,
@@ -1105,6 +1148,39 @@ SELECT id_a, id_b, jaccard FROM (
            / len(list_distinct(list_cat(x.sh, y.sh)))::DOUBLE AS jaccard
   FROM d x JOIN d y ON x.doc_id < y.doc_id)
 WHERE jaccard >= 0.6"""
+
+# BM25 mirror (operators/retrieval.py): same tokenization (_NORM split),
+# same Robertson formula with the arithmetic written in the same
+# association order, scores rounded to 6dp BEFORE ranking on both sides
+# so float summation-order noise can never flip a rank
+_BM25_QROWS = ",\n  ".join(f"({i}, '{q}')" for i, q in BM25_QUERIES)
+_BM25_SQL = f"""
+WITH q(query_id, query) AS (VALUES
+  {_BM25_QROWS}),
+toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents),
+d AS (SELECT doc_id, t, len(t) AS dl FROM toks),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM d),
+qt AS (SELECT query_id,
+              unnest(list_distinct(string_split(trim(regexp_replace(lower(query), '\\s+', ' ', 'g')), ' '))) AS term
+       FROM q),
+post AS (SELECT doc_id, dl, unnest(t) AS term FROM d),
+hit AS (SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+        FROM post WHERE term IN (SELECT DISTINCT term FROM qt)
+        GROUP BY doc_id, dl, term),
+dft AS (SELECT term, count(*)::BIGINT AS df FROM hit GROUP BY term),
+sc AS (SELECT qt.query_id, hit.doc_id,
+              round(sum(
+                ln(1.0 + (stats.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+                * hit.tf * 2.2
+                / (hit.tf + 1.2 * (0.25 + (0.75 * hit.dl) / stats.avgdl))
+              ), 6) AS score
+       FROM hit JOIN dft USING (term) JOIN qt USING (term) CROSS JOIN stats
+       GROUP BY qt.query_id, hit.doc_id)
+SELECT query_id, doc_id, rank, score FROM (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM sc)
+WHERE rank <= 10"""
 
 # banded random-hyperplane LSH mirror: the EXACT plane literals used by
 # the Spark plan (fuzzy.make_plane_vectors(16, 64, seed=7)); 8 bands of 2
@@ -1380,6 +1456,10 @@ def oracle_sql() -> dict[str, str]:
         "simhash_sketch": _SIMHASH_SQL,
         "simhash_pairs": _SIMHASH_PAIRS_SQL,
         "minhash_neardup": _MINHASH_SQL,
+        # incremental ingest provably equals the one-shot recompute
+        # (tests/test_incremental_dedup.py), so it shares the oracle
+        "incremental_neardup": _MINHASH_SQL,
+        "bm25_topk": _BM25_SQL,
         "dup_clusters": _DUP_CLUSTERS_SQL,
         "lsh_bucket_audit": _LSH_AUDIT_SQL,
         "corpus_curation": _CURATION_SQL.format(
