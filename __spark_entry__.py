@@ -236,6 +236,22 @@ def q_bm25_topk(spark, sf_dir):
     return retrieval.bm25_topk(docs, qdf, "text", "doc_id", k=10)
 
 
+def q_bm25_topk_indexed(spark, sf_dir):
+    """The persisted-index retrieval path: postings ingested in three
+    batches (doc_id % 3) with incrementally-maintained corpus constants,
+    then probed with a partition-pruned scan (only the tb= dirs the query
+    terms hash into). Score-identical to the inline bm25_topk by shared
+    scoring core, so it shares its oracle."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    idx = retrieval.Bm25Index(spark, tempfile.mkdtemp(prefix="bm25_idx_"))
+    for b in range(3):
+        idx.ingest(docs.filter(F.pmod("doc_id", F.lit(3)) == b), "text", "doc_id")
+    qdf = spark.createDataFrame(BM25_QUERIES, "query_id long, query string")
+    return idx.topk(qdf, k=10)
+
+
 def q_incremental_neardup(spark, sf_dir):
     """CDC-shaped dedup: the corpus arrives in three batches (doc_id % 3);
     each batch is deduped against the persisted LSH band index built from
@@ -976,6 +992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_neardup": q_minhash_neardup,
         "incremental_neardup": q_incremental_neardup,
         "bm25_topk": q_bm25_topk,
+        "bm25_topk_indexed": q_bm25_topk_indexed,
         "dup_clusters": q_dup_clusters,
         "simhash_sketch": q_simhash_sketch,
         "simhash_pairs": q_simhash_pairs,
@@ -1460,6 +1477,9 @@ def oracle_sql() -> dict[str, str]:
         # (tests/test_incremental_dedup.py), so it shares the oracle
         "incremental_neardup": _MINHASH_SQL,
         "bm25_topk": _BM25_SQL,
+        # the persisted-index probe shares the inline scoring core and the
+        # maintained constants are exact (tests/test_retrieval.py)
+        "bm25_topk_indexed": _BM25_SQL,
         "dup_clusters": _DUP_CLUSTERS_SQL,
         "lsh_bucket_audit": _LSH_AUDIT_SQL,
         "corpus_curation": _CURATION_SQL.format(

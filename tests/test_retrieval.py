@@ -1,10 +1,12 @@
 """BM25 semantics: length normalization, additivity over query terms,
-query-term dedup, k/rank contract (SURVEY.md §2.12 text family)."""
+query-term dedup, k/rank contract; and the persisted incrementally-
+maintained index's equivalence to the inline computation
+(SURVEY.md §2.12 text family)."""
 
 import pytest
 from pyspark.sql import functions as F
 
-from nifi_processors_spark.operators.retrieval import bm25_topk
+from nifi_processors_spark.operators.retrieval import Bm25Index, bm25_topk
 
 
 @pytest.fixture(scope="module")
@@ -58,3 +60,60 @@ def test_k_truncates(spark, docs):
 
 def test_unknown_term_is_empty(spark, docs):
     assert bm25_topk(docs, _q(spark, "zzz qqq"), "text", "doc_id", k=5).count() == 0
+
+
+# ---------------- persisted incremental index ----------------
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_index_incremental_equals_inline(spark, tmp_path, docs):
+    """Ingesting the corpus in two batches and querying the index must
+    give exactly the inline result over the full corpus."""
+    idx = Bm25Index(spark, str(tmp_path / "bm25"), n_hash_buckets=8)
+    idx.ingest(docs.filter(F.col("doc_id") < 2), "text", "doc_id")
+    m = idx.ingest(docs.filter(F.col("doc_id") >= 2), "text", "doc_id")
+    assert m["n_docs"] == 4 and m["sum_dl"] == 3 + 1 + 2 + 3
+    q = _q(spark, "apple banana", "durian")
+    want = _rows(bm25_topk(docs, q, "text", "doc_id", k=10))
+    got = _rows(idx.topk(q, k=10))
+    assert got == want and want
+
+
+def test_index_probe_is_partition_pruned(spark, tmp_path, docs):
+    idx = Bm25Index(spark, str(tmp_path / "bm25"), n_hash_buckets=8)
+    idx.ingest(docs, "text", "doc_id")
+    q = _q(spark, "apple")
+    out = idx.topk(q, k=10)
+    assert out.count() == 2
+    # only the tb= dir 'apple' hashes into may be opened
+    tb = spark.createDataFrame([("apple",)], "term string").select(
+        F.pmod(F.xxhash64("term"), F.lit(8)).alias("tb")).first()["tb"]
+    probe = spark.read.parquet(idx.postings_dir).filter(
+        F.col("tb").isin([tb]) & F.col("term").isin(["apple"]))
+    files = [r[0] for r in probe.select(F.input_file_name()).distinct().collect()]
+    assert files and all(f"tb={tb}/" in f for f in files)
+
+
+def test_index_empty_and_meta_guards(spark, tmp_path, docs):
+    idx = Bm25Index(spark, str(tmp_path / "bm25"), n_hash_buckets=8)
+    with pytest.raises(RuntimeError, match="empty"):
+        idx.topk(_q(spark, "apple"))
+    idx.ingest(docs.limit(0), "text", "doc_id")  # empty batch: noop
+    assert idx.meta()["n_docs"] == 0
+    idx.ingest(docs, "text", "doc_id")
+    with pytest.raises(ValueError, match="n_hash_buckets"):
+        Bm25Index(spark, str(tmp_path / "bm25"), n_hash_buckets=16)
+
+
+def test_index_rebuild_equals_incremental(spark, tmp_path, docs):
+    a = Bm25Index(spark, str(tmp_path / "a"), n_hash_buckets=8)
+    for b in range(2):
+        a.ingest(docs.filter(F.col("doc_id") % 2 == b), "text", "doc_id")
+    r = Bm25Index(spark, str(tmp_path / "r"), n_hash_buckets=8)
+    r.rebuild(docs, "text", "doc_id")
+    q = _q(spark, "apple banana cherry")
+    assert _rows(a.topk(q)) == _rows(r.topk(q))
+    assert a.meta() == r.meta()
