@@ -607,7 +607,7 @@ def q_ivf_topk_indexed_fullprobe(spark, sf_dir):
     return out.select("query_id", "vec_id", "rank")
 
 
-def _two_snapshot_table(spark, sf_dir):
+def _two_snapshot_table(spark, sf_dir, bloom_cols=None):
     """Shared harness for the change-feed queries: a REAL icelite table
     (temp dir) with two committed snapshots — epoch 1 merges the first
     half of the change log (event_id <= max/2; error winners tombstone),
@@ -642,7 +642,7 @@ def _two_snapshot_table(spark, sf_dir):
 
     tbl = IceliteTable.create(
         spark, tempfile.mkdtemp(prefix="chfeed_"), schema,
-        key=["user_id"], n_buckets=8,
+        key=["user_id"], n_buckets=8, bloom_cols=bloom_cols,
     )
     s1, _ = tbl.merge(chset(ev.filter(F.col("event_id") <= mid)))
     s2, _ = tbl.merge(chset(ev.filter(F.col("event_id") > mid)))
@@ -794,6 +794,24 @@ def q_point_lookup(spark, sf_dir):
     proves bucket pruning never changes the answer."""
     tbl, s1, s2 = _two_snapshot_table(spark, sf_dir)
     out = tbl.scan([("user_id", "=", 42)])
+    return out.select("user_id", "event_type", "value", "ts_us")
+
+
+def q_bloom_lookup(spark, sf_dir):
+    """Per-file bloom skipping on a SECONDARY column (round 5): ts_us is
+    high-cardinality and uncorrelated with the user_id bucketing, so its
+    per-file min/max spans ~everything and range stats never prune — the
+    manifest bloom is what lets an equality/IN lookup skip files the
+    value provably isn't in (false positives only cost an extra file
+    read; the residual predicate keeps results exact). The oracle
+    recomputes the LWW state in SQL with the same IN predicate."""
+    tbl, _, _ = _two_snapshot_table(spark, sf_dir, bloom_cols=["ts_us"])
+    probes = sorted(
+        r["ts_us"]
+        for r in tbl.read().filter(F.col("user_id").isin([7, 42]))
+        .select("ts_us").collect()
+    )
+    out = tbl.scan([("ts_us", "in", probes)])
     return out.select("user_id", "event_type", "value", "ts_us")
 
 
@@ -1016,6 +1034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_rollup": q_incremental_rollup,
         "scan_prune": q_scan_prune,
         "point_lookup": q_point_lookup,
+        "bloom_lookup": q_bloom_lookup,
         "rollback_read": q_rollback_read,
         "batch_lookup": q_batch_lookup,
         "zorder_scan": q_zorder_scan,
@@ -1708,6 +1727,16 @@ def oracle_sql() -> dict[str, str]:
                         WHERE rn = 1 AND event_type <> 'error')
             SELECT user_id, event_type, value, ts_us FROM w2
             WHERE user_id IN (7, 42, 99, 123)""",
+        "bloom_lookup": """
+            WITH ev AS (SELECT user_id, event_type, round(value, 2) AS value,
+                               epoch_us(ts) AS ts_us, event_id FROM events),
+                 w2 AS (SELECT user_id, event_type, value, ts_us FROM (
+                          SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts_us DESC, event_id DESC) AS rn
+                          FROM ev)
+                        WHERE rn = 1 AND event_type <> 'error')
+            SELECT user_id, event_type, value, ts_us FROM w2
+            WHERE ts_us IN (SELECT ts_us FROM w2 WHERE user_id IN (7, 42))""",
         "zorder_scan": """
             WITH ev AS (SELECT user_id, event_type, round(value, 2) AS value,
                                epoch_us(ts) AS ts_us, event_id FROM events),

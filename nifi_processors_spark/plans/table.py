@@ -32,6 +32,7 @@ this module is the scale-correct replacement mandated by BASELINE.json.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 from typing import Any
@@ -65,7 +66,68 @@ def bucket_expr(key: list[str], n_buckets: int) -> Column:
     return F.pmod(F.xxhash64(*[F.col(c) for c in key]), F.lit(n_buckets)).cast("int")
 
 
-def _parquet_footer_stats(path: str) -> dict | None:
+# ---------------- per-file bloom filters (secondary-column skipping) ----
+
+# Min/max stats prune well on clustered columns; a HIGH-CARDINALITY
+# column uncorrelated with the key (e.g. an event id inside a
+# user-bucketed table) has min/max spanning ~everything in every file, so
+# range stats never skip. A small per-file bloom over such a column makes
+# equality/IN lookups skip files the value provably isn't in.
+# 1024 bits / 3 hashes ≈ 2.5% false-positive at ~100 distinct values per
+# file; a false positive only costs reading one extra file, never
+# correctness. Hashes are sha256-derived (engine-independent, stable
+# across restarts) with Kirsch-Mitzenmacher double hashing.
+_BLOOM_M = 1024
+_BLOOM_K = 3
+
+
+def _bloom_hashes(value: Any) -> list[int] | None:
+    """Bit positions for a value, or None for un-bloomable types (floats
+    are excluded by design: equality on floats is not a lookup pattern).
+    Type-tagged so int 5 and str '5' can never collide by construction."""
+    if isinstance(value, bool) or not isinstance(value, (int, str)):
+        return None
+    tag = f"i:{value}" if isinstance(value, int) else f"s:{value}"
+    d = hashlib.sha256(tag.encode("utf-8")).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:16], "big") | 1
+    return [(h1 + i * h2) % _BLOOM_M for i in range(_BLOOM_K)]
+
+
+def _bloom_build(values) -> str | None:
+    """Hex-encoded bloom over the non-null values, or None if the column
+    holds an un-bloomable type. All-null columns produce '0' — which
+    correctly excludes every equality probe (null never satisfies one)."""
+    bits = 0
+    for v in values:
+        if v is None:
+            continue
+        hs = _bloom_hashes(v)
+        if hs is None:
+            return None
+        for h in hs:
+            bits |= 1 << h
+    return format(bits, "x")
+
+
+def _bloom_excludes(fe: dict, col: str, op: str, v: Any) -> bool:
+    """True iff the file's bloom PROVES no row satisfies ``col op v``.
+    Only equality/IN can be proven; missing blooms -> False (file read)."""
+    if op == "in":
+        return all(_bloom_excludes(fe, col, "=", x) for x in v)
+    if op not in ("=", "=="):
+        return False
+    bx = ((fe.get("stats") or {}).get("blooms") or {}).get(col)
+    if bx is None:
+        return False
+    hs = _bloom_hashes(v)
+    if hs is None:
+        return False
+    bits = int(bx, 16)
+    return not all((bits >> h) & 1 for h in hs)
+
+
+def _parquet_footer_stats(path: str, bloom_cols: tuple[str, ...] = ()) -> dict | None:
     """Per-file column min/max + row count, read from the parquet FOOTER
     (pure metadata, no data pages) — the Iceberg manifest-stats analogue:
     the writer hoists what parquet already recorded into the snapshot so
@@ -157,6 +219,23 @@ def _parquet_footer_stats(path: str) -> dict | None:
     if mins:
         out["mins"] = mins
         out["maxs"] = maxs
+    if bloom_cols:
+        # same local-only contract as the live_rows fallback above: a
+        # columnar read of just these columns from a file this process
+        # wrote moments ago; on a real cluster the writer task computes
+        # the bloom during the write and ships it in its commit message
+        try:
+            pf = pq.ParquetFile(path)
+            present = {c for c in bloom_cols if c in pf.schema_arrow.names}
+            blooms = {}
+            for c in sorted(present):
+                bx = _bloom_build(pf.read(columns=[c]).column(c).to_pylist())
+                if bx is not None:
+                    blooms[c] = bx
+            if blooms:
+                out["blooms"] = blooms
+        except Exception:
+            pass
     return out
 
 
@@ -270,7 +349,13 @@ class IceliteTable:
         schema: T.StructType,
         key: list[str],
         n_buckets: int = 32,
+        bloom_cols: list[str] | None = None,
     ) -> "IceliteTable":
+        """``bloom_cols``: columns to record a per-file bloom filter for
+        in the manifest — equality/IN scans on them skip files the value
+        provably isn't in. Choose high-cardinality NON-key columns whose
+        values scatter across buckets (key columns already collapse to
+        their hash bucket; clustered columns already prune on min/max)."""
         t = cls(spark, path)
         fsio.makedirs(t.meta_dir)
         fsio.makedirs(t.data_dir)
@@ -289,6 +374,8 @@ class IceliteTable:
             "buckets": {},
             "lineage": {"op": "create"},
         }
+        if bloom_cols:
+            snap["bloom_cols"] = list(bloom_cols)
         _atomic_write_json(fsio.join(t.meta_dir, "v0.json"), snap)
         fsio.publish_json(fsio.join(t.meta_dir, "VERSION"), 0)
         return t
@@ -308,15 +395,29 @@ class IceliteTable:
     def _file_entry(self, path: str, schema_version: int, kind: str | None = None) -> dict:
         """Manifest entry for a freshly written data file: path, size, the
         schema version it was written under, and (local files) footer-derived
-        column min/max stats for scan-time file skipping."""
+        column min/max stats — plus per-file blooms for the table's
+        configured ``bloom_cols`` — for scan-time file skipping."""
         fe: dict = {"path": path, "schema_version": schema_version,
                     "bytes": fsio.getsize(path)}
         if kind:
             fe["kind"] = kind
-        st = _parquet_footer_stats(path)
+        st = _parquet_footer_stats(path, bloom_cols=self._bloom_cols())
         if st:
             fe["stats"] = st
         return fe
+
+    def _bloom_cols(self) -> tuple[str, ...]:
+        """The table's configured bloom columns (snapshot property, set at
+        create time, propagated by every commit). Memoized per instance —
+        _file_entry runs once per written file."""
+        memo = getattr(self, "_bloom_cols_memo", None)
+        if memo is None:
+            try:
+                memo = tuple(self.snapshot().get("bloom_cols") or ())
+            except Exception:
+                memo = ()
+            self._bloom_cols_memo = memo
+        return memo
 
     def _bucket_entries(self, bdir: str, schema_version: int, kind: str | None = None) -> list[dict]:
         return [
@@ -498,7 +599,10 @@ class IceliteTable:
             has_delta = any(fe.get("kind", "base") == "delta" for fe in files)
             survivors = [
                 fe for fe in files
-                if not any(_stats_exclude(fe, c, op, v) for (c, op, v) in filters)
+                if not any(
+                    _stats_exclude(fe, c, op, v) or _bloom_excludes(fe, c, op, v)
+                    for (c, op, v) in filters
+                )
             ]
             if has_delta and survivors:
                 survivors = files  # all-or-nothing for delta-bearing buckets
