@@ -607,11 +607,12 @@ def q_ivf_topk_indexed_fullprobe(spark, sf_dir):
     return out.select("query_id", "vec_id", "rank")
 
 
-def _two_snapshot_table(spark, sf_dir, bloom_cols=None):
+def _two_snapshot_table(spark, sf_dir, bloom_cols=None, after_commit=None):
     """Shared harness for the change-feed queries: a REAL icelite table
     (temp dir) with two committed snapshots — epoch 1 merges the first
     half of the change log (event_id <= max/2; error winners tombstone),
-    epoch 2 the rest. Returns (tbl, s1, s2)."""
+    epoch 2 the rest. Returns (tbl, s1, s2). ``after_commit(tbl)`` runs
+    after each merge (outbox publish hook)."""
     import tempfile
 
     from pyspark.sql import types as T
@@ -645,7 +646,11 @@ def _two_snapshot_table(spark, sf_dir, bloom_cols=None):
         key=["user_id"], n_buckets=8, bloom_cols=bloom_cols,
     )
     s1, _ = tbl.merge(chset(ev.filter(F.col("event_id") <= mid)))
+    if after_commit is not None:
+        after_commit(tbl)
     s2, _ = tbl.merge(chset(ev.filter(F.col("event_id") > mid)))
+    if after_commit is not None:
+        after_commit(tbl)
     return tbl, s1, s2
 
 
@@ -659,6 +664,26 @@ def q_snapshot_changes(spark, sf_dir):
     tbl, s1, s2 = _two_snapshot_table(spark, sf_dir)
     return tbl.changes(s1, s2).select(
         "user_id", "event_type", "value", "ts_us", "_change_type"
+    )
+
+
+def q_outbox_feed(spark, sf_dir):
+    """CDC OUTPUT (round 5): the change-feed outbox publishes each
+    commit's row-level delta as a parquet segment behind a replace-safe
+    pointer (plans/outbox.py) — downstream consumers tail deltas instead
+    of rescanning the table. Segment 0→1 covers from table birth (the
+    create snapshot is retained), so it is snapshot-1's state as inserts;
+    segment 1→2 is the manifest-pruned diff. The oracle recomputes both
+    LWW states in SQL and emits the same two-segment union."""
+    import tempfile
+
+    from nifi_processors_spark.plans.outbox import ChangeOutbox
+
+    ob = ChangeOutbox(spark, tempfile.mkdtemp(prefix="outbox_"))
+    _two_snapshot_table(spark, sf_dir, after_commit=ob.publish)
+    return ob.read().select(
+        "user_id", "event_type", "value", "ts_us",
+        "_change_type", "_from_snapshot", "_to_snapshot",
     )
 
 
@@ -1031,6 +1056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_features": q_video_features,
         "velocity_methods": q_velocity_methods,
         "snapshot_changes": q_snapshot_changes,
+        "outbox_feed": q_outbox_feed,
         "incremental_rollup": q_incremental_rollup,
         "scan_prune": q_scan_prune,
         "point_lookup": q_point_lookup,
@@ -1636,6 +1662,41 @@ def oracle_sql() -> dict[str, str]:
                   IS DISTINCT FROM (n.event_type, n.value, n.ts_us)
             UNION ALL
             SELECT n.user_id, n.event_type, n.value, n.ts_us, 'update_postimage'
+            FROM w1 o JOIN w2 n USING (user_id)
+            WHERE (o.event_type, o.value, o.ts_us)
+                  IS DISTINCT FROM (n.event_type, n.value, n.ts_us)""",
+        "outbox_feed": """
+            WITH mid AS (SELECT (max(event_id) // 2) AS m FROM events),
+                 ev AS (SELECT user_id, event_type, round(value, 2) AS value,
+                               epoch_us(ts) AS ts_us, event_id FROM events),
+                 w1 AS (SELECT user_id, event_type, value, ts_us FROM (
+                          SELECT e.*, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts_us DESC, event_id DESC) AS rn
+                          FROM ev e, mid WHERE event_id <= m)
+                        WHERE rn = 1 AND event_type <> 'error'),
+                 w2 AS (SELECT user_id, event_type, value, ts_us FROM (
+                          SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts_us DESC, event_id DESC) AS rn
+                          FROM ev)
+                        WHERE rn = 1 AND event_type <> 'error')
+            -- segment 0->1: from-birth coverage, snapshot-1 state as inserts
+            SELECT user_id, event_type, value, ts_us,
+                   'insert' AS _change_type, 0 AS _from_snapshot, 1 AS _to_snapshot
+            FROM w1
+            UNION ALL
+            -- segment 1->2: the snapshot diff
+            SELECT n.user_id, n.event_type, n.value, n.ts_us, 'insert', 1, 2
+            FROM w2 n LEFT JOIN w1 o USING (user_id) WHERE o.user_id IS NULL
+            UNION ALL
+            SELECT o.user_id, o.event_type, o.value, o.ts_us, 'delete', 1, 2
+            FROM w1 o LEFT JOIN w2 n USING (user_id) WHERE n.user_id IS NULL
+            UNION ALL
+            SELECT o.user_id, o.event_type, o.value, o.ts_us, 'update_preimage', 1, 2
+            FROM w1 o JOIN w2 n USING (user_id)
+            WHERE (o.event_type, o.value, o.ts_us)
+                  IS DISTINCT FROM (n.event_type, n.value, n.ts_us)
+            UNION ALL
+            SELECT n.user_id, n.event_type, n.value, n.ts_us, 'update_postimage', 1, 2
             FROM w1 o JOIN w2 n USING (user_id)
             WHERE (o.event_type, o.value, o.ts_us)
                   IS DISTINCT FROM (n.event_type, n.value, n.ts_us)""",

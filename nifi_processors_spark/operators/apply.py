@@ -85,6 +85,7 @@ class ChangeApplier:
         expire_tombstones_every: int | None = None,
         tombstone_lateness: int = 1_000,
         views: dict[str, tuple[list[str], list[str]]] | None = None,
+        outbox: bool = False,
     ):
         """``merge_mode``: 'cow' rewrites touched buckets per epoch (read
         cost stays flat); 'mor' appends delta files (write cost scales with
@@ -106,7 +107,13 @@ class ChangeApplier:
         value_cols)}`` — after every applied epoch the loop folds ONLY
         that epoch's change feed into each view (plans/ivm.py
         MaterializedView; the table is never rescanned except at
-        bootstrap or after snapshot expiry reaps a view's base)."""
+        bootstrap or after snapshot expiry reaps a view's base).
+
+        ``outbox``: publish each applied epoch's row-level change feed to
+        ``state_dir/outbox`` (plans/outbox.py ChangeOutbox) — the CDC
+        *output* side, for downstream consumers that want deltas instead
+        of table scans. Feed coverage starts at table birth when the
+        create snapshot is still retained, else at enable time."""
         self.spark = spark
         self.table_path = table_path
         self.changelog_dir = changelog_dir
@@ -132,6 +139,11 @@ class ChangeApplier:
         self._max_commit_seq: int | None = None
         self.views_dir = fsio.join(state_dir, "views")
         self.views = dict(views or {})
+        self.outbox = None
+        if outbox:
+            from ..plans.outbox import ChangeOutbox
+
+            self.outbox = ChangeOutbox(spark, fsio.join(state_dir, "outbox"))
 
     # ------------- discovery -------------
 
@@ -617,6 +629,16 @@ class ChangeApplier:
             return {}
         return {name: self.view(name).refresh(t) for name in self.views}
 
+    def publish_outbox(self) -> dict | None:
+        """Publish the change feed since the last published snapshot
+        (noop when current; see plans/outbox.py for the contract)."""
+        if self.outbox is None:
+            return None
+        t = self._table()
+        if t is None:
+            return None
+        return self.outbox.publish(t)
+
     def run(self, crash: Callable[[str, int], None] | None = None) -> list[dict]:
         """Apply all pending epochs in order (exactly-once via markers),
         interleaving the configured maintenance cadences — a 100-epoch run
@@ -628,6 +650,7 @@ class ChangeApplier:
         for e in self.pending_epochs():
             out.append(self.apply_epoch(e, crash=crash))
             self.refresh_views()
+            self.publish_outbox()
             self._tick_maintenance()
         return out
 

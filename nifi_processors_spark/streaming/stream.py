@@ -71,11 +71,13 @@ def stream_apply(
             marker=key,
             observe_metrics=False,
         )
-        # maintained views track the stream too: fold this micro-batch's
-        # change feed (noop when the batch was empty). Idempotent under
-        # foreachBatch replays — a replayed batch marker-skips above, and
-        # refresh() noops when the view already reflects the snapshot.
+        # maintained views and the change-feed outbox track the stream
+        # too: fold/publish this micro-batch's change feed (noop when the
+        # batch was empty). Idempotent under foreachBatch replays — a
+        # replayed batch marker-skips above, and refresh()/publish() noop
+        # when already at the current snapshot.
         applier.refresh_views()
+        applier.publish_outbox()
 
     return (
         stream.writeStream.foreachBatch(apply_batch)

@@ -31,7 +31,7 @@ def test_stream_apply_matches_batch(spark, tmp_path):
 
     streaming = ChangeApplier(spark, str(tmp_path / "st"), str(tmp_path / "cl"),
                               str(tmp_path / "ss"), n_buckets=8,
-                              views={"by_lang": (["lang"], [])})
+                              views={"by_lang": (["lang"], [])}, outbox=True)
     q = stream_apply(spark, streaming, str(tmp_path / "ckpt"))
     q.awaitTermination(300)
     # availableNow terminates when all input is processed — a still-active
@@ -50,6 +50,14 @@ def test_stream_apply_matches_batch(spark, tmp_path):
     recompute = {r["lang"]: r["n"] for r in streaming.state().groupBy("lang")
                  .agg(F.count("*").alias("n")).collect()}
     assert view == recompute and view
+    # the change-feed outbox tracked the stream too: pointer current,
+    # feed's insert/postimage keys cover the final state
+    t = streaming.outbox
+    assert t.pointer()["snapshot_id"] > 0
+    live = {(r["repo"], r["path"]) for r in t.read()
+            .filter(F.col("_change_type").isin("insert", "update_postimage"))
+            .select("repo", "path").distinct().collect()}
+    assert live >= set(got)
 
 
 # ---------------- property-based LWW (hypothesis drives the dict oracle, ----
