@@ -125,6 +125,12 @@ CHECKS = {
         ("probe scan partition-prunes on cell (dynamic pruning expression)", r"PartitionFilters: \[[^\]]*dynamicpruning", "formatted"),
         ("no corpus shuffle on vec_id anywhere (index build is also projection-only)", r"hashpartitioning\(vec_id", "absent"),
     ],
+    "skew_report": [
+        ("map-side partial count before the exchange", r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate", "simple"),
+        ("total joined as a 1-row broadcast", r"BroadcastNestedLoopJoin|BroadcastExchange", "simple"),
+        ("top-N is TakeOrderedAndProject, never a partition-less window over all keys", r"TakeOrderedAndProject", "simple"),
+        ("no row-at-a-time Python eval", r"BatchEvalPython|MapInPandas", "absent"),
+    ],
     "bm25_topk": [
         # query terms and per-term df are broadcast; the only wide work is
         # the (doc, term) partial-agg shuffle over term-filtered postings

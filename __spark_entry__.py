@@ -227,6 +227,14 @@ BM25_QUERIES = [
 ]
 
 
+def q_skew_report(spark, sf_dir):
+    """Heavy-hitter skew diagnostic (operators/profile.py heavy_hitters):
+    exact per-key counts (map-side partials) + share of total — the
+    number that decides whether an agg/join on this key needs salting."""
+    ev = _t(spark, sf_dir, "events")
+    return profile.heavy_hitters(ev, ["user_id"], top_n=20)
+
+
 def q_bm25_topk(spark, sf_dir):
     """BM25 top-10 per query (operators/retrieval.py): postings term-
     filtered behind a broadcast of the query terms, df computed from the
@@ -1035,6 +1043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_neardup": q_minhash_neardup,
         "incremental_neardup": q_incremental_neardup,
         "bm25_topk": q_bm25_topk,
+        "skew_report": q_skew_report,
         "bm25_topk_indexed": q_bm25_topk_indexed,
         "dup_clusters": q_dup_clusters,
         "simhash_sketch": q_simhash_sketch,
@@ -1522,6 +1531,16 @@ def oracle_sql() -> dict[str, str]:
         # (tests/test_incremental_dedup.py), so it shares the oracle
         "incremental_neardup": _MINHASH_SQL,
         "bm25_topk": _BM25_SQL,
+        "skew_report": """
+            WITH c AS (SELECT user_id, count(*)::BIGINT AS n_rows
+                       FROM events GROUP BY user_id),
+                 t AS (SELECT count(*)::BIGINT AS total FROM events)
+            SELECT user_id, n_rows, share, rank
+            FROM (SELECT c.user_id, c.n_rows,
+                         round(c.n_rows::DOUBLE / t.total, 6) AS share,
+                         row_number() OVER (ORDER BY c.n_rows DESC, c.user_id) AS rank
+                  FROM c CROSS JOIN t)
+            WHERE rank <= 20""",
         # the persisted-index probe shares the inline scoring core and the
         # maintained constants are exact (tests/test_retrieval.py)
         "bm25_topk_indexed": _BM25_SQL,

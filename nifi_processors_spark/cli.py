@@ -58,6 +58,9 @@ def main(argv: list[str] | None = None) -> int:
                         help="maintained rollup: name=grp1,grp2[:val1,val2] "
                         "(repeatable); refreshed from the change feed after "
                         "every applied epoch")
+    ap_cmd.add_argument("--outbox", action="store_true",
+                        help="publish each applied epoch's row-level change "
+                        "feed to <state>/outbox (CDC output segments)")
 
     mt_cmd = sub.add_parser("maintain", help="one ad-hoc maintenance pass "
                             "(expire tombstones + snapshots)")
@@ -227,6 +230,7 @@ def main(argv: list[str] | None = None) -> int:
         expire_tombstones_every=getattr(args, "expire_tombstones_every", None),
         tombstone_lateness=getattr(args, "tombstone_lateness", 1000),
         views=views or None,
+        outbox=getattr(args, "outbox", False),
     )
     if args.cmd == "apply":
         for rec in applier.run():

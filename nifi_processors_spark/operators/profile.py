@@ -15,7 +15,7 @@ exact mode is for small tables / oracle checks, not the scale path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -59,4 +59,38 @@ def profile_table(
     ).select(
         "e.col_name", "n_rows", "e.n_nulls", "e.n_distinct",
         "e.min_value", "e.max_value",
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_cols: list[str],
+    top_n: int = 20,
+) -> DataFrame:
+    """Exact top-N heavy hitters for a key — the skew diagnostic that
+    decides whether a join/agg on this key needs salting (a key holding
+    >> 1/shuffle-partitions of the rows will straggle its reducer).
+
+    One map-side-combinable count per key plus a 1-row total broadcast.
+    The top-N itself is ``orderBy().limit()`` — Spark plans that as
+    TakeOrderedAndProject (per-partition partial top-N, merge at the
+    driver), NOT a partition-less window, so a key domain of billions
+    never lands on one reducer; ``rank`` is then a row_number over the
+    <= top_n survivors (constant-size, single tiny partition by
+    construction). ``share`` is rounded to 6dp and ties break on the key
+    so the output is engine-stable.
+
+    No reference analogue (SURVEY.md §2.12 curation family)."""
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = df.agg(F.count(F.lit(1)).alias("_total"))
+    order = [F.desc("n_rows"), *[F.asc(c) for c in key_cols]]
+    top = (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("share", F.round(F.col("n_rows") / F.col("_total"), 6))
+        .orderBy(*order)
+        .limit(top_n)
+    )
+    return (
+        top.withColumn("rank", F.row_number().over(Window.orderBy(*order)))
+        .select(*key_cols, "n_rows", "share", "rank")
     )

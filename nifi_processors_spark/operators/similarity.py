@@ -84,6 +84,60 @@ def pick_centroids(
     return [(cell, list(r["centroid"])) for cell, r in enumerate(rows)]
 
 
+def train_centroids_kmeans(
+    vectors: DataFrame,
+    n_cells: int = 16,
+    n_iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[tuple[int, list[float]]]:
+    """Lloyd's k-means refinement of the IVF centroids, DataFrame-only.
+
+    Init is the deterministic hash pick (``pick_centroids``); each round
+    (a) assigns every vector with the SAME zero-shuffle expression argmax
+    the index uses and (b) recomputes each cell's mean in ONE map-side-
+    combinable aggregation — n_cells groups × dim sum columns, so the
+    shuffle is a few KB regardless of corpus size, and the driver holds
+    n_cells × dim floats per round. No UDFs, no cached intermediates;
+    cost is n_iters narrow scans. Empty cells keep their previous
+    centroid (deterministic; no re-seeding randomness). Cosine assignment
+    is scale-invariant, so the un-normalized mean is a valid spherical
+    k-means update.
+
+    Deterministic end to end: same data + params -> same centroids, so a
+    rebuilt index is byte-stable. Returns the same ``(cell, centroid)``
+    list shape ``assign_cells``/``build_ivf_index`` accept."""
+    cents = pick_centroids(vectors, n_cells, vec_col, id_col)
+    staged = _stage_norm(
+        vectors.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("embedding"),
+        ),
+        "embedding",
+    )
+    dim = len(cents[0][1])
+    for _ in range(n_iters):
+        rows = (
+            staged.withColumn("_cell", nearest_cell_expr(cents, "embedding"))
+            .groupBy("_cell")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                *[
+                    F.sum(F.element_at("embedding", i + 1)).alias(f"_s{i}")
+                    for i in range(dim)
+                ],
+            )
+        ).collect()
+        by_cell = {r["_cell"]: r for r in rows}
+        cents = [
+            (cell, [by_cell[cell][f"_s{i}"] / by_cell[cell]["_n"] for i in range(dim)])
+            if cell in by_cell and by_cell[cell]["_n"]
+            else (cell, old)
+            for cell, old in cents
+        ]
+    return cents
+
+
 def nearest_cell_expr(
     centroids: list[tuple[int, list[float]]], vec_col: str = "embedding"
 ) -> Column:

@@ -155,3 +155,19 @@ def test_cli_apply_with_view(spark, tmp_path, capsys):
     with _pytest.raises(SystemExit):
         cli.main(["apply", "--table", str(tmp_path / "t"), "--changelog", cl,
                   "--state", str(tmp_path / "s"), "--view", "malformed"])
+
+
+def test_cli_apply_with_outbox(spark, tmp_path, capsys):
+    """--outbox publishes per-epoch CDC output segments under state/."""
+    cl = str(tmp_path / "cl")
+    assert cli.main(["generate", "--out", cl, "--events", "900",
+                     "--epochs", "2"]) == 0
+    assert cli.main([
+        "apply", "--table", str(tmp_path / "t"), "--changelog", cl,
+        "--state", str(tmp_path / "s"), "--buckets", "4", "--outbox",
+    ]) == 0
+    capsys.readouterr()
+    from nifi_processors_spark.plans.outbox import ChangeOutbox
+    ob = ChangeOutbox(spark, str(tmp_path / "s" / "outbox"))
+    assert len(ob.segments()) == 2  # one per epoch, from birth
+    assert ob.read().count() > 0
