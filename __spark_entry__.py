@@ -227,6 +227,29 @@ BM25_QUERIES = [
 ]
 
 
+def q_url_canonicalize(spark, sf_dir):
+    """URL canonicalization (operators/urls.py): deterministic URL
+    variants synthesized from doc_id (tracking params, case, default
+    ports, fragments, empty paths) normalized with pure regexp/HOF
+    expressions; the oracle reproduces the normalization
+    regexp-for-regexp in SQL."""
+    from nifi_processors_spark.operators.urls import canonicalize_url
+
+    docs = _t(spark, sf_dir, "documents")
+    v = F.pmod("doc_id", F.lit(4))
+    sid = F.col("doc_id").cast("string")
+    url = (
+        F.when(v == 0, F.concat(F.lit("HTTP://WWW.Example.com:80/d/"), sid,
+                                F.lit("?utm_source=feed&b=2&a=1#frag")))
+        .when(v == 1, F.concat(F.lit("https://example.COM/d/"), sid,
+                               F.lit("/?gclid=xyz&z=1")))
+        .when(v == 2, F.concat(F.lit("http://EXAMPLE.com?id="), sid))
+        .otherwise(F.concat(F.lit("https://Example.com:443/P/"), sid,
+                            F.lit("?a=1&utm_campaign=x&ref=h&Z=9#s")))
+    )
+    return docs.select("doc_id", canonicalize_url(url).alias("canonical_url"))
+
+
 def q_skew_report(spark, sf_dir):
     """Heavy-hitter skew diagnostic (operators/profile.py heavy_hitters):
     exact per-key counts (map-side partials) + share of total — the
@@ -1044,6 +1067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_neardup": q_incremental_neardup,
         "bm25_topk": q_bm25_topk,
         "skew_report": q_skew_report,
+        "url_canonicalize": q_url_canonicalize,
         "bm25_topk_indexed": q_bm25_topk_indexed,
         "dup_clusters": q_dup_clusters,
         "simhash_sketch": q_simhash_sketch,
@@ -1531,6 +1555,35 @@ def oracle_sql() -> dict[str, str]:
         # (tests/test_incremental_dedup.py), so it shares the oracle
         "incremental_neardup": _MINHASH_SQL,
         "bm25_topk": _BM25_SQL,
+        "url_canonicalize": r"""
+            WITH raw AS (SELECT doc_id,
+                   CASE doc_id % 4
+                     WHEN 0 THEN 'HTTP://WWW.Example.com:80/d/' || doc_id || '?utm_source=feed&b=2&a=1#frag'
+                     WHEN 1 THEN 'https://example.COM/d/' || doc_id || '/?gclid=xyz&z=1'
+                     WHEN 2 THEN 'http://EXAMPLE.com?id=' || doc_id
+                     ELSE 'https://Example.com:443/P/' || doc_id || '?a=1&utm_campaign=x&ref=h&Z=9#s'
+                   END AS url FROM documents),
+            u1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM raw),
+            p1 AS (SELECT doc_id,
+                     lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                     regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest FROM u1),
+            p2 AS (SELECT doc_id, scheme,
+                     lower(regexp_extract(rest, '^([^/?]*)', 1)) AS hostport,
+                     regexp_replace(rest, '^[^/?]*', '') AS pathq FROM p1),
+            p3 AS (SELECT doc_id, scheme,
+                     CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+                          WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                          ELSE hostport END AS host,
+                     CASE WHEN regexp_extract(pathq, '^([^?]*)', 1) = '' THEN '/'
+                          ELSE regexp_extract(pathq, '^([^?]*)', 1) END AS path,
+                     regexp_extract(pathq, '\?(.*)$', 1) AS query FROM p2),
+            p4 AS (SELECT doc_id, scheme, host, path,
+                     array_to_string(list_sort(list_filter(string_split(query, '&'),
+                       x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid|ref)='))), '&') AS qs
+                   FROM p3)
+            SELECT doc_id, scheme || '://' || host || path ||
+                   CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canonical_url
+            FROM p4""",
         "skew_report": """
             WITH c AS (SELECT user_id, count(*)::BIGINT AS n_rows
                        FROM events GROUP BY user_id),

@@ -91,6 +91,22 @@ def test_maintenance_only_range_advances_without_segment(spark, tmp_path):
     assert len(ob.segments()) == 1  # no empty segment on disk
 
 
+def test_torn_publish_is_repaired_by_retry(spark, tmp_path):
+    """A crash BETWEEN segment write and pointer move leaves a torn
+    segment; the retry recomputes the same manifest diff and overwrites
+    it byte-for-byte (readers behind the pointer never saw it)."""
+    t = _mini_table(spark, tmp_path, [(i, f"v{i}") for i in range(20)])
+    ob = ChangeOutbox(spark, str(tmp_path / "ob"))
+    # simulate the torn write: segment exists (even corrupt), pointer absent
+    import os
+    seg = str(tmp_path / "ob" / "seg_0_1")
+    os.makedirs(seg)
+    (tmp_path / "ob" / "seg_0_1" / "garbage.parquet").write_bytes(b"not parquet")
+    r = ob.publish(t)
+    assert r["mode"] == "publish" and r["rows"] == 20
+    assert ob.read().count() == 20  # torn content fully replaced
+
+
 def test_bootstrap_on_expired_history(spark, tmp_path):
     t = _mini_table(spark, tmp_path, [(i, f"v{i}") for i in range(10)])
     t.expire_snapshots(keep_last=1)  # reap the create snapshot
