@@ -227,6 +227,16 @@ BM25_QUERIES = [
 ]
 
 
+def q_length_band(spark, sf_dir):
+    """Quantile band filter (operators/profile.py quantile_band_filter):
+    keep documents inside the [p05, p95] length band — data-driven
+    outlier trim. One threshold aggregation + a 1-row broadcast back
+    into a narrow filter; exact percentile here (oracle parity), the
+    sketch path (percentile_approx) is the 100 TB default."""
+    docs = _t(spark, sf_dir, "documents")
+    return profile.quantile_band_filter(docs, "n_chars").select("doc_id", "n_chars")
+
+
 def q_url_canonicalize(spark, sf_dir):
     """URL canonicalization (operators/urls.py): deterministic URL
     variants synthesized from doc_id (tracking params, case, default
@@ -1068,6 +1078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "skew_report": q_skew_report,
         "url_canonicalize": q_url_canonicalize,
+        "length_band": q_length_band,
         "bm25_topk_indexed": q_bm25_topk_indexed,
         "dup_clusters": q_dup_clusters,
         "simhash_sketch": q_simhash_sketch,
@@ -1555,6 +1566,12 @@ def oracle_sql() -> dict[str, str]:
         # (tests/test_incremental_dedup.py), so it shares the oracle
         "incremental_neardup": _MINHASH_SQL,
         "bm25_topk": _BM25_SQL,
+        "length_band": """
+            WITH th AS (SELECT quantile_cont(n_chars, 0.05) AS lo,
+                               quantile_cont(n_chars, 0.95) AS hi
+                        FROM documents)
+            SELECT doc_id, n_chars FROM documents, th
+            WHERE n_chars >= lo AND n_chars <= hi""",
         "url_canonicalize": r"""
             WITH raw AS (SELECT doc_id,
                    CASE doc_id % 4

@@ -94,3 +94,34 @@ def heavy_hitters(
         top.withColumn("rank", F.row_number().over(Window.orderBy(*order)))
         .select(*key_cols, "n_rows", "share", "rank")
     )
+
+
+def quantile_band_filter(
+    df: DataFrame,
+    col: str,
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+    exact: bool = True,
+) -> DataFrame:
+    """Keep rows inside the [lo_q, hi_q] quantile band of ``col`` — the
+    outlier-trim curation stage (drop pathologically short/long docs,
+    absurd values) with DATA-DRIVEN cut points instead of magic numbers.
+
+    One aggregation computes both thresholds (exact ``percentile`` is
+    sort-based inside the agg — right for oracle checks and moderate
+    cardinality; pass exact=False for ``percentile_approx``, the
+    mergeable-sketch path at 100 TB where +/- rsd on a trim cut is
+    immaterial). The 1-row threshold frame joins back as a broadcast, so
+    the data pass stays a narrow filter — no second wide job, no
+    driver-side collect of the thresholds into the plan."""
+    q = F.array(F.lit(float(lo_q)), F.lit(float(hi_q)))
+    agg = F.percentile(col, q) if exact else F.percentile_approx(col, q)
+    th = df.agg(agg.alias("_th"))
+    return (
+        df.crossJoin(F.broadcast(th))
+        .filter(
+            (F.col(col) >= F.element_at("_th", 1))
+            & (F.col(col) <= F.element_at("_th", 2))
+        )
+        .drop("_th")
+    )
