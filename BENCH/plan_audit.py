@@ -125,6 +125,15 @@ CHECKS = {
         ("probe scan partition-prunes on cell (dynamic pruning expression)", r"PartitionFilters: \[[^\]]*dynamicpruning", "formatted"),
         ("no corpus shuffle on vec_id anywhere (index build is also projection-only)", r"hashpartitioning\(vec_id", "absent"),
     ],
+    "url_canonicalize": [
+        ("single narrow projection (no exchange)", None, "exchange==0"),
+        ("pure expressions (no Python eval)", r"BatchEvalPython|MapInPandas", "absent"),
+    ],
+    "length_band": [
+        ("thresholds join back as a 1-row broadcast", r"BroadcastNestedLoopJoin|BroadcastExchange", "simple"),
+        ("pure expressions (no Python eval)", r"BatchEvalPython|MapInPandas", "absent"),
+        ("scan pruned to the filtered columns", r"ReadSchema: struct<doc_id:bigint,n_chars:bigint>", "formatted"),
+    ],
     "skew_report": [
         ("map-side partial count before the exchange", r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate", "simple"),
         ("total joined as a 1-row broadcast", r"BroadcastNestedLoopJoin|BroadcastExchange", "simple"),
