@@ -68,6 +68,32 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# unique id column per sf table — fan_out hash-repartitions on it (no
+# sort-before-repartition, deterministic under retry; session.fan_out)
+_TABLE_ID = {
+    "documents": "doc_id", "events": "event_id", "embeddings": "vec_id",
+    "customer": "c_custkey", "orders": "o_orderkey", "lineitem": "l_orderkey",
+    "nation": "n_nationkey", "supplier": "s_suppkey", "part": "p_partkey",
+    "region": "r_regionkey",
+}
+
+
+def _tf(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read for EXPRESSION-HEAVY paths: _t + scale-adaptive fan-out
+    (session.fan_out). The sf tables are single-row-group parquet files,
+    which a scan cannot parallelize below one task — every narrow per-row
+    expression (sha256 shingling, regex, cosine) then runs on one core of
+    N. fan_out hash-repartitions the (small) input on its unique id up to
+    the session's parallelism; at 100 TB the scan already plans more
+    splits than cores and no exchange is added. Aggregation/window-
+    dominated queries keep the plain _t: their heavy work is already
+    parallel after their own exchange, and the extra exchange would cost
+    more than it saves."""
+    from nifi_processors_spark.session import fan_out
+
+    return fan_out(_t(spark, sf_dir, name), by=[_TABLE_ID[name]])
+
+
 def _lww_events(ev: DataFrame) -> DataFrame:
     return lww_dedup(ev, key=["user_id"], order=["ts", "event_id"])
 
@@ -143,7 +169,9 @@ def q_metrics_rollup(spark, sf_dir):
 
 
 def q_split_json_field(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
+    from nifi_processors_spark.session import fan_out
+
+    ev = fan_out(_t(spark, sf_dir, "events").select("event_id", "props"), by=["event_id"])
     return ev.select(
         "event_id", F.get_json_object("props", "$.k").cast("long").alias("k")
     )
@@ -169,7 +197,7 @@ def q_exact_dedup(spark, sf_dir):
 
 
 def q_token_counts(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tf(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         text.whitespace_token_count(F.col("text")).alias("ws_tokens"),
@@ -178,13 +206,13 @@ def q_token_counts(spark, sf_dir):
 
 
 def q_lang_id(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tf(spark, sf_dir, "documents")
     # staged tokenize-once path (one text pass; no regex alternation scans)
     return text.with_language_id(docs, "text", "lang_id").select("doc_id", "lang_id")
 
 
 def q_quality_features(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tf(spark, sf_dir, "documents")
     f_ = text.quality_features(F.col("text"))
     return docs.select(
         "doc_id",
@@ -205,7 +233,7 @@ def q_fingerprint(spark, sf_dir):
 
 
 def q_ann_topk(spark, sf_dir):
-    em = _t(spark, sf_dir, "embeddings")
+    em = _tf(spark, sf_dir, "embeddings")
     vecs = em.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
     queries = vecs.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
@@ -215,7 +243,7 @@ def q_ann_topk(spark, sf_dir):
 
 
 def q_minhash_neardup(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tf(spark, sf_dir, "documents")
     return fuzzy.minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.6, num_hashes=32, bands=16)
 
 
@@ -245,7 +273,7 @@ def q_url_canonicalize(spark, sf_dir):
     regexp-for-regexp in SQL."""
     from nifi_processors_spark.operators.urls import canonicalize_url
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tf(spark, sf_dir, "documents")
     v = F.pmod("doc_id", F.lit(4))
     sid = F.col("doc_id").cast("string")
     url = (
@@ -272,7 +300,7 @@ def q_bm25_topk(spark, sf_dir):
     """BM25 top-10 per query (operators/retrieval.py): postings term-
     filtered behind a broadcast of the query terms, df computed from the
     filtered postings, corpus constants as a 1-row broadcast."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tf(spark, sf_dir, "documents")
     qdf = spark.createDataFrame(BM25_QUERIES, "query_id long, query string")
     return retrieval.bm25_topk(docs, qdf, "text", "doc_id", k=10)
 
@@ -285,7 +313,7 @@ def q_bm25_topk_indexed(spark, sf_dir):
     scoring core, so it shares its oracle."""
     import tempfile
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tf(spark, sf_dir, "documents")
     idx = retrieval.Bm25Index(spark, tempfile.mkdtemp(prefix="bm25_idx_"))
     for b in range(3):
         idx.ingest(docs.filter(F.pmod("doc_id", F.lit(3)) == b), "text", "doc_id")
@@ -303,7 +331,7 @@ def q_incremental_neardup(spark, sf_dir):
     corpus, so this query shares minhash_neardup's oracle SQL."""
     import tempfile
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tf(spark, sf_dir, "documents")
     idx = incdedup.LshBandIndex(
         spark, tempfile.mkdtemp(prefix="lsh_idx_"), num_hashes=32, bands=16, shingle_n=3
     )
@@ -325,12 +353,12 @@ def q_dup_clusters(spark, sf_dir):
 
 
 def q_simhash_sketch(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tf(spark, sf_dir, "documents")
     return fuzzy.with_simhash(docs, "text", "simhash", shingle_n=2).select("doc_id", "simhash")
 
 
 def q_ivf_topk(spark, sf_dir):
-    em = _t(spark, sf_dir, "embeddings")
+    em = _tf(spark, sf_dir, "embeddings")
     vecs = em.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
     queries = vecs.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
@@ -344,7 +372,7 @@ def q_ivf_topk_fullprobe(spark, sf_dir):
     result contract as brute force, so it gets a real SQL oracle; the
     nprobe<n_cells variant above demonstrates the approximate scale path
     (rows-only check)."""
-    em = _t(spark, sf_dir, "embeddings")
+    em = _tf(spark, sf_dir, "embeddings")
     vecs = em.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
     queries = vecs.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
@@ -461,7 +489,7 @@ def q_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs via max_hamming+1 pigeonhole block buckets
     (candidates shuffle on sub-keys, never all-pairs; exact, so the
     brute-force DuckDB oracle reproduces it bit-for-bit)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tf(spark, sf_dir, "documents")
     out = fuzzy.simhash_pairs(docs, "text", "doc_id", max_hamming=8, shingle_n=2)
     return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
@@ -475,7 +503,7 @@ def q_embedding_neardup(spark, sf_dir):
     """Embedding cosine near-dup via banded random-hyperplane LSH:
     16 sign bits in 8 bands of 2 — candidate on any band match, verified
     by true cosine."""
-    em = _t(spark, sf_dir, "embeddings")
+    em = _tf(spark, sf_dir, "embeddings")
     vecs = em.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
@@ -489,14 +517,14 @@ def q_embedding_neardup(spark, sf_dir):
 def q_ngram_jaccard(spark, sf_dir):
     """All-pairs n-gram Jaccard — the exact baseline the LSH variants
     approximate (bounded input by contract; here the sf docs table)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tf(spark, sf_dir, "documents")
     return fuzzy.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.6, n=3)
 
 
 def q_lsh_bucket_audit(spark, sf_dir):
     """Band-bucket size audit for the LSH degenerate-bucket cap: per
     multi-member bucket, its size and the pairs a cap of 4 would drop."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tf(spark, sf_dir, "documents")
     out = fuzzy.lsh_bucket_stats(
         docs, "text", "doc_id", num_hashes=32, bands=16, max_bucket_size=4
     )
@@ -635,7 +663,7 @@ def q_ivf_topk_indexed_fullprobe(spark, sf_dir):
     covered by the recall test and the PLANS.md section."""
     import tempfile
 
-    em = _t(spark, sf_dir, "embeddings")
+    em = _tf(spark, sf_dir, "embeddings")
     vecs = em.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
@@ -754,7 +782,7 @@ def q_repetition_features(spark, sf_dir):
     bound columns (operators/text.py:with_repetition_features). The
     DuckDB oracle recomputes all four from the same tokenization with
     list lambdas."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tf(spark, sf_dir, "documents")
     return text.with_repetition_features(docs, "text").select(
         "doc_id", "n_words", "dup_word_frac", "top_word_frac", "top_bigram_frac"
     )
@@ -901,7 +929,7 @@ def q_decontaminate(spark, sf_dir):
     the only exchange is the per-doc count. The oracle rebuilds the same
     grams with DuckDB list functions, so hash-equality pins tokenization,
     gram construction, and the zero-overlap left-join semantics."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tf(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     train = docs.filter(F.col("doc_id") % 97 != 0)
     out = text.ngram_overlap(train, bench, n=3, min_overlap=3)
@@ -976,7 +1004,7 @@ def q_pii_scrub(spark, sf_dir):
     """PII masking over documents (emails -> <EMAIL>, IPv4 -> <IP>, long
     digit runs -> <NUMBER>) + per-tag audit counts — chained JVM
     regexp_replace, ERE-portable so DuckDB applies identical rewrites."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tf(spark, sf_dir, "documents")
     counts = text.pii_counts(F.col("text"))
     return docs.select(
         "doc_id",
@@ -1005,7 +1033,7 @@ def _curation_selected(spark, sf_dir):
     plan audit can inspect the anti-join: the budget stage materializes
     its range partitioning with localCheckpoint (see operators/budget.py),
     which truncates everything upstream out of the final explain."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tf(spark, sf_dir, "documents")
     survivors = fuzzy.exact_dedup_keep(docs, "text", "doc_id")
     pairs = fuzzy.minhash_lsh_pairs(
         survivors, "text", "doc_id", threshold=0.6, num_hashes=32, bands=16

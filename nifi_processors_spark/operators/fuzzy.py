@@ -240,10 +240,32 @@ def minhash_lsh_pairs(
         .select("_p.id_a", "_p.id_b")
         .distinct()
     )
-    # verification joins shingles back by id (hash joins on a long key)
+    # verification: attach shingles with ONE pass over the shingle
+    # derivation instead of two. The former shape joined `sh` once per
+    # pair side, re-running the whole normalize/split/shingle projection
+    # twice more (2/3 of the operator's wall at sf1.0, r06). Here the
+    # candidate pairs unpivot to (id_a, id_b, role, _id); one join pulls
+    # each member's shingles (the candidate side is small by LSH
+    # construction — band buckets are capped — so AQE broadcasts it and
+    # the shingle side is never shuffled); a groupBy on the pair key
+    # re-pairs the two sides. Same jaccard over the same arrays.
+    sides = cand.select(
+        "id_a",
+        "id_b",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("role"), F.col("id_a").alias("_id")),
+                F.struct(F.lit(1).alias("role"), F.col("id_b").alias("_id")),
+            )
+        ).alias("_m"),
+    ).select("id_a", "id_b", "_m.role", "_m._id")
     verified = (
-        cand.join(sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a")
-        .join(sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")
+        sides.join(sh, "_id")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.first(F.when(F.col("role") == 0, F.col("_sh")), ignorenulls=True).alias("sh_a"),
+            F.first(F.when(F.col("role") == 1, F.col("_sh")), ignorenulls=True).alias("sh_b"),
+        )
         .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")

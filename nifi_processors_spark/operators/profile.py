@@ -82,7 +82,11 @@ def heavy_hitters(
 
     No reference analogue (SURVEY.md §2.12 curation family)."""
     counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_rows"))
-    total = df.agg(F.count(F.lit(1)).alias("_total"))
+    # total derived from the per-key counts, NOT a second pass over df:
+    # sum(n_rows) == count(*) exactly (null keys keep their group), and
+    # the shared groupBy subtree plans as one scan + a ReusedExchange
+    # (VERDICT r5 #3: one scan instead of two at 100 TB).
+    total = counts.agg(F.sum("n_rows").alias("_total"))
     order = [F.desc("n_rows"), *[F.asc(c) for c in key_cols]]
     top = (
         counts.crossJoin(F.broadcast(total))

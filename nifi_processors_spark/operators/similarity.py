@@ -40,6 +40,29 @@ def _partial_topk(scored: DataFrame, query_id: str, k: int) -> DataFrame:
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _norm(v: Column) -> Column:
+    """||v|| with the same left-fold association as fuzzy.cosine — staged
+    variants must produce bit-identical floats."""
+    return F.sqrt(
+        F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda acc, y: acc + y)
+    )
+
+
+def _staged_cosine(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """fuzzy.cosine with the two norms PRE-STAGED as bound columns.
+
+    The inline form re-aggregates both norms twice per pair (guard +
+    denominator): for an n-vector x m-query score that is 4 extra array
+    folds per pair. Staging ||v|| once per vector row and ||q|| once per
+    query row leaves only the dot product as per-pair work (~6x less
+    arithmetic, r06). Same expressions, same fold order, same guard —
+    bit-identical results."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+
+
 def brute_force_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -49,12 +72,25 @@ def brute_force_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
 ) -> DataFrame:
-    """Exact cosine top-k per query. queries must be small (broadcast)."""
-    q = F.broadcast(queries.select(query_id_col, query_vec_col))
+    """Exact cosine top-k per query. queries must be small (broadcast).
+
+    Norms are staged per side (``_staged_cosine``): the scan computes
+    ||v|| once per vector, the broadcast side carries ||q|| once per
+    query, and the per-pair work is just the dot product."""
+    q = F.broadcast(
+        queries.select(query_id_col, query_vec_col)
+        .withColumn("_qnorm", _norm(F.col(query_vec_col)))
+    )
     scored = (
         vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
+        .withColumn("_vnorm", _norm(F.col("_v")))
         .crossJoin(q)
-        .withColumn("cosine", cosine(F.col("_v"), F.col(query_vec_col)))
+        .withColumn(
+            "cosine",
+            _staged_cosine(
+                F.col("_v"), F.col(query_vec_col), F.col("_vnorm"), F.col("_qnorm")
+            ),
+        )
         .select(query_id_col, "vec_id", "cosine")
     )
     return _partial_topk(scored, query_id_col, k).select(query_id_col, "vec_id", "cosine", "rank")
@@ -250,11 +286,18 @@ def ivf_topk_indexed(
         q_scored.withColumn("_rn", F.row_number().over(wq))
         .filter(F.col("_rn") <= nprobe)
         .select(query_id_col, query_vec_col, "cell")
+        .withColumn("_qnorm", _norm(F.col(query_vec_col)))
     )
     vectors = spark.read.parquet(f"{path}/vectors")
     scored = (
-        vectors.join(F.broadcast(probes), "cell")
-        .withColumn("cosine", cosine(F.col("embedding"), F.col(query_vec_col)))
+        vectors.withColumn("_vn", _norm(F.col("embedding")))
+        .join(F.broadcast(probes), "cell")
+        .withColumn(
+            "cosine",
+            _staged_cosine(
+                F.col("embedding"), F.col(query_vec_col), F.col("_vn"), F.col("_qnorm")
+            ),
+        )
         .select(query_id_col, "vec_id", "cosine")
     )
     return _partial_topk(scored, query_id_col, k).select(query_id_col, "vec_id", "cosine", "rank")
@@ -288,10 +331,17 @@ def ivf_topk(
         q_scored.withColumn("_rn", F.row_number().over(wq))
         .filter(F.col("_rn") <= nprobe)
         .select(query_id_col, query_vec_col, "cell")
+        .withColumn("_qnorm", _norm(F.col(query_vec_col)))
     )
     scored = (
-        assigned.join(F.broadcast(probes), "cell")
-        .withColumn("cosine", cosine(F.col("embedding"), F.col(query_vec_col)))
+        assigned.withColumn("_vn", _norm(F.col("embedding")))
+        .join(F.broadcast(probes), "cell")
+        .withColumn(
+            "cosine",
+            _staged_cosine(
+                F.col("embedding"), F.col(query_vec_col), F.col("_vn"), F.col("_qnorm")
+            ),
+        )
         .select(query_id_col, "vec_id", "cosine")
     )
     return _partial_topk(scored, query_id_col, k).select(query_id_col, "vec_id", "cosine", "rank")

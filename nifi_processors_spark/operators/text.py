@@ -85,17 +85,25 @@ def language_id(c: Column) -> Column:
 
 def with_language_id(df, text_col: str, out_col: str = "lang_id"):
     """Staged language ID: tokenize once into a bound column, then six
-    cheap array filters (whole-stage codegen, zero regex alternations)."""
-    return (
-        df.withColumn("_lid_words", F.split(F.lower(F.col(text_col)), "[^a-z]+"))
-        .withColumn(
-            out_col,
-            _argmax_lang(
-                [(lang, _word_hits(F.col("_lid_words"), ws)) for lang, ws in STOPWORDS.items()]
-            ),
+    array filters, then the argmax over BOUND COUNT COLUMNS.
+
+    The two-stage staging matters (r06 measurement): ``_argmax_lang``
+    builds a nested CASE whose running-max subtree is DUPLICATED at every
+    comparison level — fed the filter expressions directly, the 'en' hit
+    count is re-evaluated ~30x per row and the expression grows past the
+    codegen size limit (interpreted Project, 35 s at sf1.0 single-core).
+    Staging each language's count as a column first makes the CASE
+    duplicate only attribute references (free), each filter runs exactly
+    once per row, and the projection codegens again."""
+    df = df.withColumn("_lid_words", F.split(F.lower(F.col(text_col)), "[^a-z]+"))
+    langs = list(STOPWORDS)
+    for lang in langs:
+        df = df.withColumn(
+            f"_lid_n_{lang}", _word_hits(F.col("_lid_words"), STOPWORDS[lang])
         )
-        .drop("_lid_words")
-    )
+    return df.withColumn(
+        out_col, _argmax_lang([(lang, F.col(f"_lid_n_{lang}")) for lang in langs])
+    ).drop("_lid_words", *[f"_lid_n_{lang}" for lang in langs])
 
 
 def quality_features(c: Column) -> dict[str, Column]:

@@ -35,6 +35,14 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Scale-adaptive scan splitting (guide §6): when a directory's
+        # total bytes are small relative to the parallelism level, derive
+        # the split size from totalBytes/minPartitionNum instead of the
+        # 128 MB default — many-small-file inputs (changelog epochs,
+        # bucketed table dirs) then scan with ~2 waves of tasks instead of
+        # 1-2 tasks. At scale totalBytes/minPartitionNum >> 128 MB, so the
+        # default split size wins and this setting is a no-op.
+        .config("spark.sql.files.minPartitionNum", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -52,3 +60,48 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def fan_out(df, min_partitions: int | None = None, by: list[str] | None = None):
+    """Scale-adaptive scan fan-out (optimization guide §2.5, "input skew:
+    one huge unsplittable file ... repartition immediately after the
+    read"). A parquet file is parallelizable only at row-group
+    granularity; a single-row-group file therefore serializes every
+    downstream narrow expression (shingling, hashing, regex, cosine) onto
+    ONE core no matter how the scan is split. When the plan has fewer
+    partitions than the session's parallelism, round-robin repartition up
+    to it — a tiny exchange by construction (the condition only fires on
+    small inputs), bought back many times over by N-way expression work.
+
+    ``by``: high-cardinality deterministic column(s) (a unique id) to
+    HASH-repartition on. Strongly preferred over the keyless form: a
+    keyless ``repartition(n)`` pays a local sort of its whole input
+    first (``spark.sql.execution.sortBeforeRepartition``, needed so task
+    retries reproduce the row->partition assignment) — on the one-task
+    input this helper exists for, that is a single-core sort of
+    everything (measured 2x on explode-shaped queries, r06). Hash
+    partitioning on a deterministic unique key needs no sort and is
+    retry-safe by construction (guide §2.5).
+
+    At 100 TB this is a no-op: the scan plans orders of magnitude more
+    splits than cores, so no exchange is ever added. Apply it to
+    expression-heavy paths only — an aggregation/window query's real work
+    already runs parallel after its own exchange, and repartitioning a
+    large multi-split input would move the payload for nothing.
+    """
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    if min_partitions is None:
+        min_partitions = spark.sparkContext.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:  # non-queryable plan (e.g. streaming): leave as-is
+        return df
+    if n >= min_partitions:
+        return df
+    if by:
+        # spread by hash of the unique key: unique values >> partitions,
+        # so the spread is even (guide §2.5 "20-100x more distinct keys")
+        return df.repartition(min_partitions, F.xxhash64(*[F.col(c) for c in by]))
+    return df.repartition(min_partitions)
