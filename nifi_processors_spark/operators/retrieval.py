@@ -218,7 +218,14 @@ class Bm25Index:
         """Tokenize and append the batch's postings, then advance the
         corpus constants. Returns the new meta. One job over the batch;
         the existing index is not read."""
-        post = self._postings(docs, text_col, id_col)
+        # materialize the batch's postings ONCE before deriving anything
+        # from them: the stats aggregation and the write are two jobs, and
+        # a non-deterministic input recomputed between them would diverge
+        # the maintained constants from the written postings — the same
+        # recompute hazard budget.py/incdedup.py guard (ADVICE r5). The
+        # checkpoint also removes the double tokenize (stats job + write
+        # job each re-derived `post` before).
+        post = self._postings(docs, text_col, id_col).localCheckpoint(eager=True)
         # batch constants: counts/sums are additive, so two longs are the
         # whole cross-batch state (same signed-delta idea as plans/ivm.py)
         stats = (
@@ -237,7 +244,9 @@ class Bm25Index:
         return m
 
     def rebuild(self, docs: DataFrame, text_col: str, id_col: str) -> dict:
-        post = self._postings(docs, text_col, id_col)
+        # same materialize-once contract as ingest (stats and write must
+        # see identical postings)
+        post = self._postings(docs, text_col, id_col).localCheckpoint(eager=True)
         stats = (
             post.groupBy("doc")
             .agg(F.first("dl").alias("dl"))

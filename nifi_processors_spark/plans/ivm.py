@@ -155,20 +155,27 @@ class MaterializedView:
         if ptr is not None and ptr["snapshot_id"] == cur:
             return {"snapshot_id": cur, "mode": "noop"}
         mode = "bootstrap" if ptr is None else "delta"
+        trigger = None
         if ptr is None:
             new = grouped_agg(table.read(snapshot_id=cur),
                               self.group_cols, self.value_cols)
         else:
+            from .table import SnapshotExpiredError
+
             try:
                 feed = table.changes(ptr["snapshot_id"], cur)
                 delta = agg_delta(feed, self.group_cols, self.value_cols)
                 new = apply_agg_delta(self.read(), delta,
                                       self.group_cols, self.value_cols)
-            except Exception:
+            except SnapshotExpiredError as e:
                 # recorded base snapshot expired (retention trade): one
                 # full rebuild re-anchors the view; later refreshes are
-                # incremental again
+                # incremental again. ONLY this typed error triggers the
+                # rebuild — any other failure in the delta path is a real
+                # bug or transient fault and must propagate, not silently
+                # become a full table rescan on every refresh (ADVICE r5).
                 mode = "rebuild"
+                trigger = str(e)
                 new = grouped_agg(table.read(snapshot_id=cur),
                                   self.group_cols, self.value_cols)
         gen = f"gen{cur}"
@@ -176,9 +183,12 @@ class MaterializedView:
         new.write.mode("overwrite").parquet(out_dir)
         fsio.publish_json(self._ptr, {"snapshot_id": cur, "data": gen})
         self._expire_generations(keep=[gen])
-        return {"snapshot_id": cur,
-                "from_snapshot": None if ptr is None else ptr["snapshot_id"],
-                "mode": mode}
+        rec = {"snapshot_id": cur,
+               "from_snapshot": None if ptr is None else ptr["snapshot_id"],
+               "mode": mode}
+        if trigger is not None:
+            rec["trigger"] = trigger
+        return rec
 
     def _expire_generations(self, keep: list[str]) -> None:
         fsio = self._fsio

@@ -61,9 +61,11 @@ class ChangeOutbox:
         """The empty create snapshot (0), iff it is still retained — a
         first publish can then cover the table's whole history losslessly
         instead of starting at enable time."""
+        from .table import SnapshotExpiredError
+
         try:
             s0 = table.snapshot(0)
-        except Exception:
+        except SnapshotExpiredError:
             return None
         return 0 if (s0.get("lineage") or {}).get("op") == "create" else None
 
@@ -90,6 +92,18 @@ class ChangeOutbox:
             .withColumn("_from_snapshot", F.lit(frm))
             .withColumn("_to_snapshot", F.lit(cur))
         )
+        # Torn-publish repair (ADVICE r5): a crash between segment write
+        # and pointer move, followed by further table commits before the
+        # next publish, would otherwise leave seg_{frm}_{oldCur} on disk
+        # NEXT TO the seg_{frm}_{newCur} written now — segments()/read()
+        # union both, and the frm->oldCur range would be emitted twice.
+        # The pointer is still at frm, so every same-frm segment with a
+        # different to-snapshot is unpublished torn output: delete it
+        # before writing the authoritative one. (The trailing '_' keeps
+        # seg_1_* from matching seg_11_*.)
+        for entry in fsio.listdir(self.path):
+            if entry.startswith(f"seg_{frm}_") and entry != f"seg_{frm}_{cur}":
+                fsio.rmtree(fsio.join(self.path, entry))
         seg = fsio.join(self.path, f"seg_{frm}_{cur}")
         feed.write.mode("overwrite").parquet(seg)
         # count from the files just written (no second feed computation)
