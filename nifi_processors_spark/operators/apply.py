@@ -380,12 +380,15 @@ class ChangeApplier:
         # Merge-on-read never READS the table, so the affected-bucket set
         # isn't needed before the merge — run the stats job CONCURRENTLY
         # with it (the tasks interleave; the epoch's wall is the merge
-        # alone). Copy-on-write must know which buckets to read: sequential.
+        # alone). Copy-on-write needs the affected list only at merge
+        # EXECUTION time, so it too submits the stats job up front and
+        # resolves the future right before calling merge — the whole
+        # driver-side plan construction (registry read, envelope parse
+        # plan, change alignment) overlaps the stats job instead of
+        # waiting behind it (r06; guide §2.6 "overlap independent jobs").
         stats_fut = pool = None
         per_bucket = affected = None
-        concurrent_stats = (
-            self.merge_mode == "mor" and self.registry.current() is not None
-        )
+        concurrent_stats = self.registry.current() is not None
         if concurrent_stats:
             from concurrent.futures import ThreadPoolExecutor
 
@@ -429,6 +432,17 @@ class ChangeApplier:
                     obs = Observation()
                     raw_obs = raw.observe(obs, *drift_aggs)
                 changes = self._build_changes(raw_obs, parse_fields, resolve, table)
+                if self.merge_mode == "cow" and stats_fut is not None:
+                    # resolve the concurrent stats now — the CoW read scope
+                    # needs the affected list; all the plan construction
+                    # above ran while the stats job executed
+                    per_bucket = stats_fut.result()
+                    stats_fut = None
+                    affected = sorted(
+                        int(r["_b"]) for r in per_bucket if r["rows"] > r["badkey"]
+                    )
+            mergeable = affected is None or bool(affected)
+            if mergeable:
                 new_sid, mstats = merge_fn(
                     changes,
                     lineage={"op": "merge", "mode": self.merge_mode, "epoch": epoch,
@@ -624,6 +638,8 @@ class ChangeApplier:
         """Bring every configured view up to the current table snapshot —
         delta-fold of the change feed since each view's recorded base
         (noop when already current; bootstrap/rebuild scans once)."""
+        if not self.views:  # avoid a per-epoch snapshot load for the
+            return {}       # common no-views applier (r06)
         t = self._table()
         if t is None:
             return {}

@@ -496,6 +496,7 @@ class IceliteTable:
         buckets: list[int] | None = None,
         include_deleted: bool = False,
         _keep: dict[str, list[dict]] | None = None,
+        _resolve: bool = True,
     ) -> DataFrame:
         """Read current (or time-travel) state, remapping columns by field id.
 
@@ -540,9 +541,11 @@ class IceliteTable:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        if has_delta:
+        if has_delta and _resolve:
             # merge-on-read: unresolved delta rows present — resolve per-key
-            # LWW now (one bucket-shuffle + sort, same shape as the merge)
+            # LWW now (one bucket-shuffle + sort, same shape as the merge).
+            # ``_resolve=False`` (compact) hands the raw base∪delta rows to
+            # a caller that fuses the resolve into its own bucket shuffle.
             out = _resolve_lww(out, snap["key"], snap["n_buckets"])
         if not include_deleted:
             out = out.filter(~F.coalesce(F.col("_deleted"), F.lit(False))).drop("_deleted")
@@ -1042,13 +1045,35 @@ class IceliteTable:
         snap = self.snapshot()
         if not buckets:
             return snap["snapshot_id"]
-        resolved = self.read(buckets=buckets, include_deleted=True)
+        key = snap["key"]
+        # Fused resolve+write (r06, guide §2.4 "two operations keyed the
+        # same way can share one exchange"): read() would resolve LWW with
+        # its own bucket shuffle and this method then re-shuffled the
+        # resolved rows on the SAME bucket value for the clustered write —
+        # two full exchanges of the table per compaction. Instead take the
+        # raw base∪delta rows, distribute by bucket ONCE, sort within
+        # partitions by (key, seq desc) and keep each key group's head —
+        # byte-identical winners (same comparator as _resolve_lww), half
+        # the data movement.
+        raw = self.read(buckets=buckets, include_deleted=True, _resolve=False)
+        out_cols = raw.columns
+        w = Window.partitionBy("_bucket").orderBy(
+            *[F.col(c) for c in key],
+            F.col("_commit_seq").desc(),
+            F.col("_event_seq").desc(),
+            F.col("_delta_seq").desc(),
+        )
+        resolved = (
+            raw.withColumn("_bucket", bucket_expr(key, snap["n_buckets"]))
+            .repartition(self._merge_partitions(len(buckets)), F.col("_bucket"))
+            .withColumn("_first", _group_head(key, w))
+            .filter(F.col("_first"))
+            .select(*out_cols, "_bucket")
+        )
         new_sid = snap["snapshot_id"] + 1
         out_dir = fsio.join(self.data_dir, f"snap{new_sid}")
         (
-            resolved.withColumn("_bucket", bucket_expr(snap["key"], snap["n_buckets"]))
-            .repartition(self._merge_partitions(len(buckets)), F.col("_bucket"))
-            .write.mode("overwrite")
+            resolved.write.mode("overwrite")
             .partitionBy("_bucket")
             .parquet(out_dir)
         )

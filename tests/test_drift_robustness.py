@@ -199,25 +199,24 @@ def test_bucket_scoped_compaction_keeps_cold_files(spark, tmp_path):
 
 
 def test_merge_write_parallelism_scales_with_conf(spark, tmp_path):
-    """The merge shuffle width follows spark.sql.shuffle.partitions, not a
-    literal 64: with 128 affected buckets and shuffle=128, the bucket
-    repartition must use >64 partitions."""
+    """The merge shuffle width scales with the cluster (one wave of tasks,
+    capped at defaultParallelism — r06), not a literal 64: with more
+    affected buckets than cores the width is exactly the core count, and
+    with fewer it shrinks to the affected count."""
     cfg = GenLogConfig(n_events=4000, n_epochs=1, n_keys=2000)
     cl = str(tmp_path / "cl")
     write_change_log(spark, cfg, cl)
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "128")
-    try:
-        ap = make_applier(spark, cl, tmp_path, "wide", n_buckets=128)
-        ap.apply_epoch(0)
-        t = IceliteTable(spark, ap.table_path)
-        assert t._merge_partitions(128) == 128
-        assert t._merge_partitions(4000) == 128  # capped by conf, not 64
-        # the write really fanned out: >64 buckets produced >64 task outputs
-        snap = t.snapshot()
-        assert sum(1 for files in snap["buckets"].values() if files) > 64
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
+    ap = make_applier(spark, cl, tmp_path, "wide", n_buckets=128)
+    ap.apply_epoch(0)
+    t = IceliteTable(spark, ap.table_path)
+    dp = spark.sparkContext.defaultParallelism
+    assert t._merge_partitions(128) == min(128, dp)
+    assert t._merge_partitions(4000) == dp  # one wave, never a literal 64
+    assert t._merge_partitions(2) == 2  # small merges don't over-fan
+    # the write still covers every affected bucket dir (partitionBy splits
+    # per bucket regardless of task count): >64 buckets hold files
+    snap = t.snapshot()
+    assert sum(1 for files in snap["buckets"].values() if files) > 64
 
 
 def test_marker_namespaces_do_not_collide(tmp_path):
