@@ -55,12 +55,11 @@ from ..plans.registry import (
     detect_payload_schema,
     fields_from_variant_schema,
     merge_field_sets,
-    payload_schema_agg,
     to_struct,
     _SPARK_TYPE,
 )
 from ..plans.table import IceliteTable, bucket_expr
-from .envelope import malformed_json, parse_envelope
+from .envelope import VARIANT_COL, malformed_json, parse_envelope
 
 ENVELOPE_KEY = ["repo", "path"]
 ENVELOPE_COLS = ["repo", "path", "op", "commit", "commit_seq", "event_seq"]
@@ -413,13 +412,26 @@ class ChangeApplier:
             if affected is None or affected:
                 # 3. OPTIMISTIC parse with the registry schema; drift detection
                 #    rides the merge job as an observation (schema_of_variant_agg
-                #    over every row — mid-epoch drift is never missed, and the
-                #    payload is read+parsed exactly once per epoch)
+                #    over every row — mid-epoch drift is never missed). The
+                #    payload is parsed ONCE per row (r06): ``_pv`` stages the
+                #    variant as a column, the corrupt flag / drift schema /
+                #    malformed count are derived from it inside the observe,
+                #    and parse_envelope extracts the typed fields from the
+                #    SAME column — the former shape paid three parses per row
+                #    (from_json + try_parse_json in the corrupt test +
+                #    parse_json in the schema agg), ~35% of the merge stage
+                #    at 1M events (bench_extra).
                 reg_fields, parse_fields, resolve = self._parse_plan()
-                is_corrupt = malformed_json(F.col("payload_json"))
+                raw_v = raw.withColumn(
+                    VARIANT_COL, F.try_parse_json(F.col("payload_json"))
+                )
+                head = F.substring(F.ltrim(F.col("payload_json")), 1, 1)
+                is_corrupt = F.col("payload_json").isNotNull() & (
+                    (head != "{") | F.col(VARIANT_COL).isNull()
+                )
                 drift_aggs = [
-                    payload_schema_agg(
-                        F.when(~(is_corrupt | is_badkey), F.col("payload_json"))
+                    F.schema_of_variant_agg(
+                        F.when(~(is_corrupt | is_badkey), F.col(VARIANT_COL))
                     ).alias("vschema"),
                     # badkey and malformed must PARTITION the corrupt set —
                     # a row that is both null-keyed and malformed counts
@@ -427,10 +439,10 @@ class ChangeApplier:
                     F.sum((is_corrupt & ~is_badkey).cast("int")).alias("malformed"),
                 ]
                 obs = None
-                raw_obs = raw
+                raw_obs = raw_v
                 if observe_metrics:
                     obs = Observation()
-                    raw_obs = raw.observe(obs, *drift_aggs)
+                    raw_obs = raw_v.observe(obs, *drift_aggs)
                 changes = self._build_changes(raw_obs, parse_fields, resolve, table)
                 if self.merge_mode == "cow" and stats_fut is not None:
                     # resolve the concurrent stats now — the CoW read scope
@@ -449,7 +461,7 @@ class ChangeApplier:
                              "input_files": input_files},
                     affected=affected,
                 )
-                got = obs.get if obs is not None else raw.agg(*drift_aggs).first()
+                got = obs.get if obs is not None else raw_v.agg(*drift_aggs).first()
                 n_malformed = int(got["malformed"] or 0)
                 epoch_fields = fields_from_variant_schema(got["vschema"])
                 if resolve:  # late rows may still carry already-renamed names

@@ -235,38 +235,20 @@ def minhash_lsh_pairs(
             ),
         )
     )
-    # Candidate pairs are MATERIALIZED once (localCheckpoint): a tiny
-    # table by LSH construction (band buckets are capped), computed
-    # per-invocation from the parquet input — this truncates the band
-    # pipeline's lineage so the two consumers below (the id set and the
-    # pair sides) don't each re-run the full shingle+signature pass.
     cand = (
         grouped.select(F.explode(pair_structs).alias("_p"))
         .select("_p.id_a", "_p.id_b")
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    # verification: derive shingles ONLY for candidate members. The former
-    # shape joined the full corpus-wide shingle projection (`sh`) against
-    # the candidate sides — the join filtered rows AFTER the scan had
-    # already paid normalize/split/shingle for every document, so the
-    # whole corpus was shingled twice per run (r06 measurement: the
-    # verify stage ~= the sketch stage's cost). Semi-joining the RAW
-    # document table first puts the broadcast filter BELOW the shingle
-    # projection (guide §4.1's "opaque projection defeats pruning" point,
-    # applied in reverse): only candidate docs — a capped, tiny set —
-    # pay the re-shingle. Same arrays, same jaccard, same results.
-    member_ids = cand.select(F.col("id_a").alias("_cid")).union(
-        cand.select(F.col("id_b").alias("_cid"))
-    ).distinct()
-    docs_cand = df.join(
-        F.broadcast(member_ids), F.col(id_col) == F.col("_cid"), "left_semi"
-    )
-    sh_cand = with_word_shingles(docs_cand, text_col, "_sh", shingle_n).select(
-        F.col(id_col).alias("_id"), "_sh"
-    )
-    # unpivot pairs to (id_a, id_b, role, _id); one join pulls each
-    # member's shingles; a groupBy on the pair key re-pairs the sides
+    # verification: attach shingles with ONE pass over the shingle
+    # derivation instead of two. The former shape joined `sh` once per
+    # pair side, re-running the whole normalize/split/shingle projection
+    # twice more (2/3 of the operator's wall at sf1.0, r06). Here the
+    # candidate pairs unpivot to (id_a, id_b, role, _id); one join pulls
+    # each member's shingles (the candidate side is small by LSH
+    # construction — band buckets are capped — so AQE broadcasts it and
+    # the shingle side is never shuffled); a groupBy on the pair key
+    # re-pairs the two sides. Same jaccard over the same arrays.
     sides = cand.select(
         "id_a",
         "id_b",
@@ -278,7 +260,7 @@ def minhash_lsh_pairs(
         ).alias("_m"),
     ).select("id_a", "id_b", "_m.role", "_m._id")
     verified = (
-        sides.join(sh_cand, "_id")
+        sides.join(sh, "_id")
         .groupBy("id_a", "id_b")
         .agg(
             F.first(F.when(F.col("role") == 0, F.col("_sh")), ignorenulls=True).alias("sh_a"),
