@@ -225,7 +225,12 @@ def q_quality_features(spark, sf_dir):
 
 
 def q_fingerprint(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    # _tf: the sha256-over-normalized-text projection is heavy enough that
+    # the single-row-group scan serializes it (r06 A/B: 0.44 -> 0.23 s at
+    # the 10x replica; the other narrow bench queries measured NO fan-out
+    # win — rule eval, template concat and exact_dedup's pre-agg hash are
+    # cheaper than the extra exchange, so they keep the plain scan)
+    docs = _tf(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         F.substring(F.sha2(text.normalize_text(F.col("text")), 256), 1, 15).alias("fp_hex"),

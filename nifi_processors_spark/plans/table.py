@@ -452,7 +452,11 @@ class IceliteTable:
         self._bloom_cols()  # populate the memo before fanning out
         if len(bdirs) <= 1:
             return {b: self._bucket_entries(d, schema_version, kind) for b, d in bdirs}
-        with ThreadPoolExecutor(max_workers=min(16, len(bdirs))) as ex:
+        # pyarrow releases the GIL for the footer read; size the pool to
+        # the local cores (a 64-bucket commit at 16 threads paid 4 serial
+        # rounds of opens — r06)
+        width = min(os.cpu_count() or 16, len(bdirs))
+        with ThreadPoolExecutor(max_workers=width) as ex:
             futs = [
                 (b, ex.submit(self._bucket_entries, d, schema_version, kind))
                 for b, d in bdirs
