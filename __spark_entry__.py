@@ -1082,7 +1082,35 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registry order is deliberate: the driver's correctness gate verifies a
+    # 50-entry prefix, and CORRECTNESS_r05 covered exactly the first 50 keys
+    # of the round-5 order — so the 17 queries added late in round 5 (the
+    # table-format tier + IVF variants, positions 51-67 then) lead here, and
+    # the 50 queries with driver-green r05 rows follow in their prior
+    # relative order. Union of r05 + r06 coverage = all 67 declared queries.
+    # Ordering only: every entry's callable and oracle SQL are unchanged.
     return {
+        "scan_prune": q_scan_prune,
+        "point_lookup": q_point_lookup,
+        "batch_lookup": q_batch_lookup,
+        "bloom_lookup": q_bloom_lookup,
+        "zorder_scan": q_zorder_scan,
+        "metadata_count": q_metadata_count,
+        "rollback_read": q_rollback_read,
+        "outbox_feed": q_outbox_feed,
+        "incremental_rollup": q_incremental_rollup,
+        "decontaminate": q_decontaminate,
+        "repetition_features": q_repetition_features,
+        "boilerplate_strip": q_boilerplate_strip,
+        "stratified_sample": q_stratified_sample,
+        "corpus_mix": q_corpus_mix,
+        "ivf_topk_fullprobe": q_ivf_topk_fullprobe,
+        "ivf_topk_indexed_fullprobe": q_ivf_topk_indexed_fullprobe,
+        # rows-only check: nprobe < n_cells is genuinely approximate (no
+        # exact SQL analogue); its recall is asserted vs brute force in
+        # tests/test_corpus_ops.py, and the fullprobe variant above
+        # oracle-checks the identical plan shape
+        "ivf_topk": q_ivf_topk,
         "lww_dedup_events": q_lww_dedup_events,
         "cdc_state_events": q_cdc_state_events,
         "cdc_delete_antijoin": q_cdc_delete_antijoin,
@@ -1133,27 +1161,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_features": q_video_features,
         "velocity_methods": q_velocity_methods,
         "snapshot_changes": q_snapshot_changes,
-        "outbox_feed": q_outbox_feed,
-        "incremental_rollup": q_incremental_rollup,
-        "scan_prune": q_scan_prune,
-        "point_lookup": q_point_lookup,
-        "bloom_lookup": q_bloom_lookup,
-        "rollback_read": q_rollback_read,
-        "batch_lookup": q_batch_lookup,
-        "zorder_scan": q_zorder_scan,
-        "metadata_count": q_metadata_count,
-        "decontaminate": q_decontaminate,
-        "repetition_features": q_repetition_features,
-        "boilerplate_strip": q_boilerplate_strip,
-        "stratified_sample": q_stratified_sample,
-        "corpus_mix": q_corpus_mix,
-        "ivf_topk_fullprobe": q_ivf_topk_fullprobe,
-        "ivf_topk_indexed_fullprobe": q_ivf_topk_indexed_fullprobe,
-        # rows-only check: nprobe < n_cells is genuinely approximate (no
-        # exact SQL analogue); its recall is asserted vs brute force in
-        # tests/test_corpus_ops.py, and the fullprobe variant above
-        # oracle-checks the identical plan shape
-        "ivf_topk": q_ivf_topk,
     }
 
 
